@@ -1,0 +1,55 @@
+"""Crawl configuration.
+
+Replaces the reference's CLI-flag surface (``--seed-urls --use-sqs --s3-bucket
+--user-agent``, reference ``master/master_node.py:276-289``,
+``crawler/crawler_node.py:410-416``) with one config dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    """All knobs for one crawl run.
+
+    The politeness semantics mirror the reference v1 crawler
+    (``archive/crawler_node.py:29-34,67-75``): per-host crawl delay from
+    robots.txt, min 1 s, default 1 s, conservative 3 s when robots.txt cannot
+    be fetched.  Politeness here is enforced by per-host scheduler shards in
+    *virtual time* (a deterministic fetch_at schedule); ``real_time_politeness``
+    additionally throttles wall-clock (off in tests/bench, as the reference's
+    own optimizer flags worker-side sleeps as its top bottleneck,
+    ``performance_optimizer.py:529-537``).
+    """
+
+    user_agent: str = "RayCrawlBot/1.0"
+    max_depth: int = 6
+    max_rounds: int = 64
+    default_crawl_delay_ms: int = 1000     # v3 fixed 1s (crawler_node.py:297)
+    conservative_crawl_delay_ms: int = 3000  # v1 robots-fetch-failed fallback
+    fetch_timeout_s: float = 10.0          # crawler_node.py:299
+    robots_ttl_s: float = 3600.0           # crawler_node.py:29
+
+    # sharding / parallelism
+    seen_shards: int = 8        # UrlSeenShard actors (url_hash % K routing)
+    scheduler_shards: int = 4   # HostSchedulerShard actors (hash(host) % M)
+    fetch_concurrency: int = 8  # fetch/decode actor pool size
+    fetch_batch_size: int = 256
+    # a host owning more than this fraction of a round is 'hot' and its rows
+    # are salted across decode partitions (politeness authority stays with its
+    # single scheduler shard)
+    hot_host_round_fraction: float = 0.10
+    hot_host_salts: int = 8
+
+    # cuckoo filter sizing (per shard)
+    cuckoo_capacity: int = 1 << 16
+    bloom_bits: int = 1 << 20
+
+    real_time_politeness: bool = False
+
+    # checkpointing
+    checkpoint_dir: str | None = None
+
+    extra: dict = field(default_factory=dict)

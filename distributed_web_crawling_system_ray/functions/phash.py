@@ -1,0 +1,80 @@
+"""64-bit perceptual hash (classic DCT pHash), numpy-only.
+
+Deterministic pipeline: RGB -> luma -> 32x32 area-mean resize -> orthonormal
+2D DCT-II -> top-left 8x8 block -> threshold the 63 AC coefficients at their
+median -> pack 64 bits (bit 0, the DC slot, is always 0) into int64.
+
+Near-dup by phash is listed as future work in the reference
+(``system_architecture_v3.md:319``); here it is a first-class payload column
+(BASELINE.json input_hint) and powers the near-dup operators in
+``pipelines/dataops.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N = 32  # resize target / DCT size
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+_DCT = _dct_matrix(_N)
+
+
+def _resize_area(gray: np.ndarray, n: int) -> np.ndarray:
+    """Area-mean resize to (n, n) via integral image — deterministic, O(hw)."""
+    h, w = gray.shape
+    # upscale-by-repetition first when a side is smaller than n, so every
+    # output cell covers >= 1 source pixel
+    if h < n:
+        gray = np.repeat(gray, -(-n // h), axis=0)
+        h = gray.shape[0]
+    if w < n:
+        gray = np.repeat(gray, -(-n // w), axis=1)
+        w = gray.shape[1]
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=integ[1:, 1:])
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    s = (
+        integ[np.ix_(ys[1:], xs[1:])]
+        - integ[np.ix_(ys[:-1], xs[1:])]
+        - integ[np.ix_(ys[1:], xs[:-1])]
+        + integ[np.ix_(ys[:-1], xs[:-1])]
+    )
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return s / np.maximum(area, 1)
+
+
+def phash64(img: np.ndarray) -> int:
+    """Perceptual hash of an (h, w, 3) uint8 image, as signed int64."""
+    gray = (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    ).astype(np.float64)
+    small = _resize_area(gray, _N)
+    dct = _DCT @ small @ _DCT.T
+    block = dct[:8, :8].flatten()
+    ac = block[1:]
+    med = np.median(ac)
+    bits = np.zeros(64, dtype=bool)
+    bits[1:] = ac > med
+    packed = np.uint64(0)
+    # pack: bit index i -> bit (63 - i), MSB first
+    val = 0
+    for i in range(64):
+        val = (val << 1) | int(bits[i])
+    return int(np.int64(np.uint64(val)))
+
+
+def hamming64(a, b):
+    """Vectorized Hamming distance between int64 phash arrays."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
