@@ -37,11 +37,15 @@ class CrawlConfig:
     scheduler_shards: int = 4   # HostSchedulerShard actors (hash(host) % M)
     fetch_concurrency: int = 8  # fetch/decode actor pool size
     fetch_batch_size: int = 256
-    # a host owning more than this fraction of a round is 'hot' and its rows
-    # are salted across decode partitions (politeness authority stays with its
-    # single scheduler shard)
-    hot_host_round_fraction: float = 0.10
-    hot_host_salts: int = 8
+    # hot-host bound: at most this many URLs are scheduled per host per round
+    # (priority order); overflow is deferred to the next round.  This bounds
+    # every groupby(host) group (skew control) — politeness is intentional
+    # serialization, so capacity-bounding beats salting for the scheduler side.
+    # NOTE: a finite budget preserves the final seen/payload SETS but not the
+    # strict BFS order contract (order conformance tests use the default).
+    per_host_round_budget: int = 1 << 31
+    # partition count for the per-round url_hash dedup shuffle
+    dedup_partitions: int = 64
 
     # cuckoo filter sizing (per shard)
     cuckoo_capacity: int = 1 << 16

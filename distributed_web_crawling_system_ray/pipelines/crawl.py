@@ -1,0 +1,424 @@
+"""The BFS crawl driver loop: one Ray Data pipeline per frontier round.
+
+Restates the whole reference master/worker system (SURVEY §3.1-3.3) as an
+iterative sequence of bounded Dataset pipelines:
+
+    round k:  frontier ──groupby(host)──> scheduler actor pool (robots gate +
+              politeness virtual-time PQ) ──filter allowed──> fetch actor pool
+              ──┬─> flat_map outlinks -> canonicalize -> partitioned min-rank
+              │    dedup -> seen-shard anti-join -> round k+1 frontier
+              └─> flat_map image refs -> image-seen anti-join -> robots gate
+                   -> decode actor pool -> write payload partition round=k
+
+The feedback loop (extracted URLs re-entering the queue,
+``master/master_node.py:167-173``) lives in this driver loop; each round is a
+plain acyclic Dataset pipeline.  Termination = empty frontier (v1 semantics:
+*loop while queue non-empty*, ``archive/master_node.py:111``) or the round
+budget.
+
+Frontier rounds are persisted as parquet under the work dir — that plus
+filter-shard snapshots and host clocks is the checkpoint; resume re-reads the
+last committed round's outputs (see ``checkpoint.py``).
+
+Scale notes: per-round fetch results are materialized (they are
+URL/metadata-sized — the image payload stream is NOT materialized, it flows
+straight to the partitioned parquet/Lance sink); the dedup shuffle is an
+explicit hash partition ``groupby(url_hash % P)``; the groupby(host) shuffle
+is bounded by the per-host round budget (see scheduler.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from distributed_web_crawling_system_ray.config import CrawlConfig
+from distributed_web_crawling_system_ray.functions.canon import (
+    canonicalize,
+    host_of,
+    url_hash,
+)
+from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+from distributed_web_crawling_system_ray.pipelines.checkpoint import (
+    commit_round,
+    latest_round,
+    round_dir,
+)
+from distributed_web_crawling_system_ray.stages.fetch import (
+    decode_images,
+    dedup_min_rank,
+    extract_image_candidates,
+    extract_links,
+    fetch_pages,
+)
+from distributed_web_crawling_system_ray.state.scheduler import (
+    ALLOWED,
+    DEFERRED,
+    DISALLOWED,
+    schedule_host_group,
+)
+from distributed_web_crawling_system_ray.state.seen import SeenPool
+
+
+def _empty_schedule() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "canon": pa.array([], pa.string()),
+            "url_hash": pa.array([], pa.uint64()),
+            "host": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "rank_path": pa.array([], pa.binary()),
+            "verdict": pa.array([], pa.int8()),
+            "fetch_at_ms": pa.array([], pa.int64()),
+        }
+    )
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    work_dir: str
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+    def payload_dataset(self) -> "ray.data.Dataset":
+        parts = []
+        for d in sorted(os.listdir(self.out_dir)):
+            if d.startswith("round="):
+                rd = os.path.join(self.out_dir, d)
+                parts.extend(
+                    os.path.join(rd, f)
+                    for f in sorted(os.listdir(rd))
+                    if f.endswith(".parquet")
+                )
+        if not parts:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "image_id": pa.array([], pa.string()),
+                        "bytes": pa.array([], pa.binary()),
+                        "w": pa.array([], pa.int32()),
+                        "h": pa.array([], pa.int32()),
+                        "fmt": pa.array([], pa.string()),
+                        "caption": pa.array([], pa.string()),
+                        "phash": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return ray.data.read_parquet(parts)
+
+    def frontier_history(self) -> pa.Table:
+        """Union of all rounds' frontiers == the final URL-seen set with
+        (depth, rank_path) lineage."""
+        tables = []
+        for k in range(self.rounds):
+            p = os.path.join(round_dir(self.work_dir, k), "frontier.parquet")
+            if os.path.exists(p):
+                tables.append(pq.read_table(p))
+        return pa.concat_tables(tables) if tables else None
+
+    def schedule_history(self) -> pa.Table:
+        tables = []
+        for k in range(self.rounds):
+            p = os.path.join(round_dir(self.work_dir, k), "schedule.parquet")
+            if os.path.exists(p):
+                tables.append(pq.read_table(p))
+        return pa.concat_tables(tables) if tables else None
+
+
+def seed_frontier(fixture_dir: str, seen: SeenPool) -> pa.Table:
+    """Round-0 frontier from the seeds table: canonicalize, first-seen dedup
+    (duplicates and fragment variants collapse), rank = seed_rank bytes.
+
+    Reference analog: seed enqueue with dedup (master/master_node.py:62-67,
+    archive/master_node.py:26-44).  Seeds are assumed driver-sized; a huge
+    seed list would go through the same Dataset path as a round instead.
+    """
+    seeds = pq.read_table(os.path.join(fixture_dir, "seeds.parquet")).to_pydict()
+    rows = sorted(zip(seeds["seed_rank"], seeds["url"]))
+    urls, canons, hashes, hosts, ranks = [], [], [], [], []
+    local: set[int] = set()
+    for rank, url in rows:
+        c = canonicalize(url)
+        if c is None:
+            continue
+        h = url_hash(c)
+        if h in local:
+            continue
+        local.add(h)
+        urls.append(url)
+        canons.append(c)
+        hashes.append(h)
+        hosts.append(host_of(c))
+        ranks.append(int(rank).to_bytes(RANK_BYTES, "big"))
+    new_mask = ~seen.check_and_add(np.asarray(hashes, dtype=np.uint64))
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canon": pa.array(canons, pa.string()),
+            "url_hash": pa.array(np.asarray(hashes, np.uint64), pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "rank_path": pa.array(ranks, pa.binary()),
+        }
+    )
+    return tbl.filter(pa.array(new_mask, pa.bool_()))
+
+
+def run_crawl(
+    fixture_dir: str,
+    cfg: CrawlConfig | None = None,
+    work_dir: str | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run a full crawl; returns handles to the payload table + lineage.
+
+    ``work_dir`` layout (the checkpoint):
+      work_dir/checkpoint/round=K/{frontier,schedule,new_frontier}.parquet,
+        seen/, image_seen/, clocks.json, metrics.json, _SUCCESS
+      work_dir/payload/round=K/*.parquet
+    """
+    cfg = cfg or CrawlConfig()
+    if work_dir is None:
+        import tempfile
+
+        work_dir = tempfile.mkdtemp(prefix="raycrawl_")
+    ckpt_root = os.path.join(work_dir, "checkpoint")
+    out_dir = os.path.join(work_dir, "payload")
+    if not resume:
+        # a fresh (non-resume) run must not append into stale partitions
+        import shutil
+
+        for d in (ckpt_root, out_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    os.makedirs(ckpt_root, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    seen = SeenPool.create(cfg.seen_shards, cfg.cuckoo_capacity, cfg.bloom_bits)
+    image_seen = SeenPool.create(
+        max(2, cfg.seen_shards // 2), cfg.cuckoo_capacity, cfg.bloom_bits
+    )
+    robots_table = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
+    robots_ref = ray.put(robots_table)
+    from distributed_web_crawling_system_ray.state.robots import RobotsPolicies
+
+    driver_policies = RobotsPolicies.from_table(robots_table)
+
+    clocks: dict[str, int] = {}
+    metrics: list[dict] = []
+    start_round = 0
+
+    if resume:
+        last = latest_round(ckpt_root)
+        if last is not None:
+            rd = round_dir(work_dir, last)
+            seen.restore(os.path.join(rd, "seen"))
+            image_seen.restore(os.path.join(rd, "image_seen"))
+            with open(os.path.join(rd, "clocks.json")) as f:
+                clocks = {k: int(v) for k, v in json.load(f).items()}
+            for k in range(last + 1):
+                mp = os.path.join(round_dir(work_dir, k), "metrics.json")
+                if os.path.exists(mp):
+                    with open(mp) as f:
+                        metrics.append(json.load(f))
+            frontier = pq.read_table(os.path.join(rd, "new_frontier.parquet"))
+            start_round = last + 1
+            # wipe any partially-written later payload partitions
+            for d in os.listdir(out_dir):
+                if d.startswith("round=") and int(d.split("=")[1]) >= start_round:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(out_dir, d))
+        else:
+            frontier = seed_frontier(fixture_dir, seen)
+    else:
+        frontier = seed_frontier(fixture_dir, seen)
+
+    rnd = start_round
+    while frontier.num_rows > 0 and rnd < cfg.max_rounds:
+        t0 = time.time()
+        rd = round_dir(work_dir, rnd)
+        os.makedirs(rd, exist_ok=True)
+        pq.write_table(frontier, os.path.join(rd, "frontier.parquet"))
+
+        n_blocks = max(1, min(256, frontier.num_rows // 512 + 1))
+        fr_ds = ray.data.read_parquet(
+            os.path.join(rd, "frontier.parquet"), override_num_blocks=n_blocks
+        )
+
+        # --- schedule: explicit groupby(host) shuffle -> per-host politeness
+        clocks_ref = ray.put(clocks)
+        schedule_ds = fr_ds.groupby("host").map_groups(
+            schedule_host_group,
+            fn_kwargs={
+                "robots_ref": robots_ref,
+                "clocks_ref": clocks_ref,
+                "per_host_round_budget": cfg.per_host_round_budget,
+            },
+            batch_format="pyarrow",
+        )
+        schedule = schedule_ds.materialize()
+        sched_parts = [t for t in ray.get(schedule.to_arrow_refs()) if t.num_rows]
+        sched_tbl = (
+            pa.concat_tables(sched_parts) if sched_parts else _empty_schedule()
+        )
+        pq.write_table(sched_tbl, os.path.join(rd, "schedule.parquet"))
+        verdicts = sched_tbl.column("verdict").to_numpy(zero_copy_only=False)
+        n_allowed = int((verdicts == ALLOWED).sum())
+        n_disallowed = int((verdicts == DISALLOWED).sum())
+        n_deferred = int((verdicts == DEFERRED).sum())
+
+        # advance per-host virtual clocks from this round's schedule
+        if n_allowed:
+            import pandas as pd
+
+            sdf = pd.DataFrame(
+                {
+                    "host": sched_tbl.column("host").to_pylist(),
+                    "fetch_at_ms": sched_tbl.column("fetch_at_ms").to_numpy(),
+                    "allowed": verdicts == ALLOWED,
+                }
+            )
+            sdf = sdf[sdf["allowed"]]
+            for host, last_at in sdf.groupby("host")["fetch_at_ms"].max().items():
+                clocks[host] = int(last_at) + driver_policies.delay_ms(host)
+
+        # --- fetch allowed rows (actor pool; politeness is virtual-time)
+        allowed_ds = schedule.map_batches(
+            lambda t: t.filter(pc.equal(t["verdict"], ALLOWED)),
+            batch_format="pyarrow",
+        )
+        results = allowed_ds.map_batches(
+            fetch_pages,
+            fn_kwargs={
+                "fixture_dir": fixture_dir,
+                "real_time": cfg.real_time_politeness,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        ).materialize()
+
+        n_fetched = results.count()
+        n_ok = results.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], 200)), batch_format="pyarrow"
+        ).count()
+
+        # --- payload branch: image refs -> image-seen anti-join -> robots
+        # gate -> decode actor pool -> partitioned parquet sink (streaming)
+        img_cands = results.map_batches(
+            extract_image_candidates, batch_format="pyarrow"
+        )
+
+        def _img_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            new = ~image_seen.check_and_add(keys)
+            # robots gate AFTER seen-add (oracle semantics: a disallowed image
+            # is 'seen' but never fetched)
+            hosts = batch.column("host").to_pylist()
+            canons = batch.column("canon").to_pylist()
+            ok = np.fromiter(
+                (
+                    driver_policies.allows(hosts[i], canons[i])
+                    for i in range(batch.num_rows)
+                ),
+                dtype=bool,
+                count=batch.num_rows,
+            )
+            return batch.filter(pa.array(new & ok, pa.bool_()))
+
+        payload_dir = os.path.join(out_dir, f"round={rnd}")
+        os.makedirs(payload_dir, exist_ok=True)
+        payload_ds = img_cands.map_batches(
+            _img_filter, batch_format="pyarrow"
+        ).map_batches(
+            decode_images,
+            fn_kwargs={"fixture_dir": fixture_dir},
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        payload_ds.write_parquet(payload_dir)
+        n_images = sum(
+            pq.read_metadata(os.path.join(payload_dir, f)).num_rows
+            for f in os.listdir(payload_dir)
+            if f.endswith(".parquet")
+        )
+
+        # --- frontier branch: outlinks -> canonicalize (+batch combiner) ->
+        # explicit hash-partition dedup -> seen-shard anti-join
+        cands = results.map_batches(extract_links, batch_format="pyarrow")
+        P = cfg.dedup_partitions
+
+        def _part(batch: pa.Table) -> pa.Table:
+            part = (
+                batch.column("url_hash").to_numpy() % np.uint64(P)
+            ).astype(np.int32)
+            return batch.append_column("part", pa.array(part, pa.int32()))
+
+        deduped = (
+            cands.map_batches(_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(dedup_min_rank, batch_format="pyarrow")
+        )
+
+        def _seen_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = batch.column("url_hash").to_numpy()
+            new = ~seen.check_and_add(keys)
+            return batch.filter(pa.array(new, pa.bool_()))
+
+        new_frontier_ds = deduped.map_batches(_seen_filter, batch_format="pyarrow")
+        nf_refs = ray.get(new_frontier_ds.to_arrow_refs())
+        nf_refs = [t for t in nf_refs if t.num_rows]
+        base_cols = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
+        if nf_refs:
+            new_frontier = pa.concat_tables([t.select(base_cols) for t in nf_refs])
+        else:
+            new_frontier = frontier.slice(0, 0)
+        n_links_new = new_frontier.num_rows
+
+        # deferred rows re-enter the next round (already in the seen set)
+        if n_deferred:
+            deferred_tbl = sched_tbl.filter(
+                pa.array(verdicts == DEFERRED, pa.bool_())
+            ).select(base_cols)
+            new_frontier = pa.concat_tables([new_frontier, deferred_tbl])
+
+        m = {
+            "round": rnd,
+            "urls_scheduled": int(sched_tbl.num_rows),
+            "urls_fetched": int(n_fetched),
+            "urls_failed": int(n_fetched - n_ok),
+            "urls_disallowed": n_disallowed,
+            "urls_deferred": n_deferred,
+            "links_new": int(n_links_new),
+            "images_written": int(n_images),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        metrics.append(m)
+        commit_round(
+            work_dir,
+            rnd,
+            new_frontier=new_frontier,
+            clocks=clocks,
+            metrics=m,
+            seen=seen,
+            image_seen=image_seen,
+        )
+        frontier = new_frontier
+        rnd += 1
+
+    return CrawlResult(out_dir=out_dir, work_dir=work_dir, rounds=rnd, metrics=metrics)

@@ -1,0 +1,237 @@
+"""Fetch + decode actor-pool stages and the link/image extraction transforms.
+
+Reference analogs:
+- fetch: ``crawl_url`` GET with a per-process ``requests.Session``
+  (``crawler/crawler_node.py:79-83,299-302``) — here the per-actor "session"
+  is a ``WebStore`` handle opened once in ``__init__`` (the sandbox's network
+  is the closed synthetic web; on a real deployment this class is where an
+  HTTP client pool goes).
+- link extraction: ``soup.find_all('a', href=True)`` + urljoin + fragment
+  strip + scheme filter in document order (``crawler/crawler_node.py:307-316``).
+- decode: the payload graft — bytes -> pixels -> (w, h, fmt, phash) per
+  BASELINE.json input_hint (reference stores raw bodies,
+  ``crawler/crawler_node.py:246-284``).
+
+All stages are Arrow-in/Arrow-out ``map_batches`` bodies; the only per-row
+Python is URL string parsing and per-image decode (inherently per-item work).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from distributed_web_crawling_system_ray.functions.canon import (
+    canonicalize,
+    host_of,
+    md5_hex,
+    url_hash,
+)
+from distributed_web_crawling_system_ray.functions.codec import decode_image
+from distributed_web_crawling_system_ray.functions.phash import phash64
+from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+
+
+_RT_EPOCH: list[float] = []
+
+
+def fetch_pages(batch: pa.Table, *, fixture_dir: str, real_time: bool = False) -> pa.Table:
+    """Fetch stage: scheduled frontier rows -> fetch results.
+
+    Task-based with a per-worker store handle (stages/cache.py) — the
+    reference's load-once-per-worker ``requests.Session`` semantics
+    (crawler/crawler_node.py:79-83) without per-round actor-pool startup.
+
+    ``real_time`` replays the virtual politeness schedule against the wall
+    clock (sleeps until each row's fetch_at_ms, measured from the first batch
+    this worker sees); off by default — the virtual schedule already proves
+    politeness and fetch workers shouldn't sleep (the reference's own
+    optimizer flags its worker sleeps, performance_optimizer.py:529-537).
+    """
+    from distributed_web_crawling_system_ray.stages.cache import get_store
+
+    store = get_store(fixture_dir)
+    canons = batch.column("canon").to_pylist()
+    statuses = np.empty(len(canons), dtype=np.int16)
+    finals: list[str] = []
+    outlinks: list[list[str]] = []
+    image_refs: list[list[str]] = []
+    errors: list[str | None] = []
+    if real_time:
+        if not _RT_EPOCH:
+            _RT_EPOCH.append(time.monotonic())
+        fetch_at = batch.column("fetch_at_ms").to_numpy(zero_copy_only=False)
+    for i, c in enumerate(canons):
+        if real_time:
+            wait = fetch_at[i] / 1000.0 - (time.monotonic() - _RT_EPOCH[0])
+            if wait > 0:
+                time.sleep(wait)
+        res = store.fetch(c)
+        ok = res["status"] == 200
+        statuses[i] = res["status"]
+        finals.append(res["final_url"])
+        outlinks.append(res["outlinks"] if ok else [])
+        image_refs.append(res["image_refs"] if ok else [])
+        errors.append(None if ok else f"status {res['status']}")
+    keep = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
+    out = batch.select([k for k in keep if k in batch.column_names])
+    return (
+        out.append_column("status", pa.array(statuses, pa.int16()))
+        .append_column("final_url", pa.array(finals, pa.string()))
+        .append_column("outlinks", pa.array(outlinks, pa.list_(pa.string())))
+        .append_column("image_refs", pa.array(image_refs, pa.list_(pa.string())))
+        .append_column("error", pa.array(errors, pa.string()))
+    )
+
+
+def extract_links(batch: pa.Table) -> pa.Table:
+    """Fetch results -> one row per raw outlink, canonicalized, in document
+    order; drops non-http(s) and already-pre-dedups within the batch keeping
+    the minimum rank_path per url_hash (the combiner before the partition-wise
+    dedup shuffle)."""
+    finals = batch.column("final_url").to_pylist()
+    outlinks = batch.column("outlinks").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    ranks = batch.column("rank_path").to_pylist()
+    urls: list[str] = []
+    canons: list[str] = []
+    hashes: list[int] = []
+    hosts: list[str] = []
+    cdepths: list[int] = []
+    cranks: list[bytes] = []
+    best: dict[int, int] = {}  # url_hash -> row index of min rank_path
+    for r in range(batch.num_rows):
+        base = finals[r]
+        d = depths[r] + 1
+        rp = ranks[r]
+        for pos, href in enumerate(outlinks[r]):
+            c = canonicalize(href, base)
+            if c is None:
+                continue
+            h = url_hash(c)
+            crp = rp + pos.to_bytes(RANK_BYTES, "big")
+            j = best.get(h)
+            if j is not None:
+                if (cdepths[j], cranks[j]) > (d, crp):
+                    cdepths[j] = d
+                    cranks[j] = crp
+                continue
+            best[h] = len(urls)
+            urls.append(href)
+            canons.append(c)
+            hashes.append(h)
+            hosts.append(host_of(c))
+            cdepths.append(d)
+            cranks.append(crp)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canon": pa.array(canons, pa.string()),
+            "url_hash": pa.array(np.asarray(hashes, dtype=np.uint64), pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(cdepths, pa.int32()),
+            "rank_path": pa.array(cranks, pa.binary()),
+        }
+    )
+
+
+def dedup_min_rank(group: pa.Table) -> pa.Table:
+    """Partition-wise deterministic first-seen: one row per url_hash, the one
+    with minimum (depth, rank_path) — reproduces the oracle's earliest-
+    discovery tie-break regardless of block arrival order."""
+    hashes = group.column("url_hash").to_pylist()
+    depths = group.column("depth").to_pylist()
+    ranks = group.column("rank_path").to_pylist()
+    best: dict[int, int] = {}
+    for i, h in enumerate(hashes):
+        j = best.get(h)
+        if j is None or (depths[i], ranks[i]) < (depths[j], ranks[j]):
+            best[h] = i
+    idx = sorted(best.values())
+    return group.take(pa.array(idx, pa.int64()))
+
+
+def extract_image_candidates(batch: pa.Table) -> pa.Table:
+    """Fetch results -> one row per image ref (canonical), batch-deduped.
+
+    Payload-discovery edge (FIXTURES.md web_pages.image_refs).  No rank is
+    needed: image output is a set keyed by image_id, so first-arrival races
+    between rounds'/batches' shard RPCs cannot change the result.
+    """
+    finals = batch.column("final_url").to_pylist()
+    refs = batch.column("image_refs").to_pylist()
+    seen: set[int] = set()
+    canons: list[str] = []
+    hashes: list[int] = []
+    hosts: list[str] = []
+    for r in range(batch.num_rows):
+        base = finals[r]
+        for href in refs[r]:
+            c = canonicalize(href, base)
+            if c is None:
+                continue
+            h = url_hash(c)
+            if h in seen:
+                continue
+            seen.add(h)
+            canons.append(c)
+            hashes.append(h)
+            hosts.append(host_of(c))
+    return pa.table(
+        {
+            "canon": pa.array(canons, pa.string()),
+            "url_hash": pa.array(np.asarray(hashes, dtype=np.uint64), pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+        }
+    )
+
+
+def decode_images(batch: pa.Table, *, fixture_dir: str) -> pa.Table:
+    """Decode stage: image candidate rows -> PAYLOAD rows.
+
+    Fetches bytes from the store (memory-mapped parquet, shared page cache
+    across workers), decodes, computes (w, h, fmt) from the actual pixels and
+    the 64-bit perceptual hash, and carries the caption.  image_id =
+    md5(canonical image URL) — the reference's content-addressing scheme
+    (crawler/crawler_node.py:253).  Missing URLs (dangling refs) and
+    undecodable payloads are dropped, as the reference drops failed fetches
+    (master/master_node.py:176-178).
+    """
+    from distributed_web_crawling_system_ray.stages.cache import get_store
+
+    store = get_store(fixture_dir)
+    ids: list[str] = []
+    blobs: list[bytes] = []
+    ws: list[int] = []
+    hs: list[int] = []
+    fmts: list[str] = []
+    caps: list[str] = []
+    phs: list[int] = []
+    for c in batch.column("canon").to_pylist():
+        img = store.get_image(c)
+        if img is None:
+            continue
+        try:
+            pixels, fmt = decode_image(img["bytes"])
+        except Exception:
+            continue  # undecodable payload == failed fetch
+        ids.append(md5_hex(c))
+        blobs.append(img["bytes"])
+        hs.append(pixels.shape[0])
+        ws.append(pixels.shape[1])
+        fmts.append(fmt)
+        caps.append(img["caption"])
+        phs.append(phash64(pixels))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        }
+    )

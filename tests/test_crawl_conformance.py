@@ -1,0 +1,112 @@
+"""Oracle conformance for the Ray crawl pipeline (FIXTURES.md §6 gates 1-5).
+
+The oracle is the pure-Python v1-semantics crawler (oracle.py); the pipeline
+is the full Ray Data round loop.  Gates:
+
+1. URL-seen set equality (dedup semantics, master/master_node.py:167-173)
+2. crawl-order equality under the (depth, rank_path) contract (v1 FIFO)
+3. robots compliance + per-host politeness spacing in the virtual schedule
+4. payload row invariants (caption/fmt/dims/phash; pixels in test_payload)
+5. no duplicate image_id
+"""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from distributed_web_crawling_system_ray.config import CrawlConfig
+from distributed_web_crawling_system_ray.oracle import crawl_oracle
+from distributed_web_crawling_system_ray.sources.synthweb import WebStore, build_fixture
+from distributed_web_crawling_system_ray.state.robots import RobotsPolicies
+from distributed_web_crawling_system_ray.state.scheduler import ALLOWED
+
+
+@pytest.fixture(scope="module")
+def crawl_t1(ray_session, tmp_path_factory):
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    cfg = CrawlConfig(seen_shards=2, scheduler_shards=2, fetch_concurrency=2)
+    work = str(tmp_path_factory.mktemp("crawl_t1"))
+    result = run_crawl(fixture, cfg, work_dir=work)
+    oracle = crawl_oracle(WebStore(fixture))
+    return fixture, result, oracle
+
+
+def test_seen_set_equality(crawl_t1):
+    _, result, oracle = crawl_t1
+    hist = result.frontier_history()
+    got = set(hist.column("canon").to_pylist())
+    assert got == set(oracle.seen.keys())
+    # depth/rank lineage matches first-discovery too
+    got_meta = {
+        c: (d, r)
+        for c, d, r in zip(
+            hist.column("canon").to_pylist(),
+            hist.column("depth").to_pylist(),
+            hist.column("rank_path").to_pylist(),
+        )
+    }
+    assert got_meta == oracle.seen
+
+
+def test_crawl_order_equality(crawl_t1):
+    _, result, oracle = crawl_t1
+    sched = result.schedule_history()
+    allowed = sched.filter(pc.equal(sched.column("verdict"), ALLOWED))
+    rows = sorted(
+        zip(
+            allowed.column("depth").to_pylist(),
+            allowed.column("rank_path").to_pylist(),
+            allowed.column("canon").to_pylist(),
+        )
+    )
+    got_order = [c for _, _, c in rows]
+    want_order = [o["canon_url"] for o in oracle.order]
+    assert got_order == want_order
+
+
+def test_robots_compliance_and_politeness(crawl_t1):
+    fixture, result, oracle = crawl_t1
+    sched = result.schedule_history()
+    store = WebStore(fixture)
+    policies = RobotsPolicies.from_table(store.robots_table())
+    allowed = sched.filter(pc.equal(sched.column("verdict"), ALLOWED))
+    hosts = allowed.column("host").to_pylist()
+    canons = allowed.column("canon").to_pylist()
+    at = allowed.column("fetch_at_ms").to_pylist()
+    # no disallowed URL was ever fetched (test_system.py:164-197 analog)
+    for h, c in zip(hosts, canons):
+        assert policies.allows(h, c), c
+    # per-host spacing >= crawl delay in the virtual schedule
+    per_host: dict[str, list[int]] = {}
+    for h, t in zip(hosts, at):
+        per_host.setdefault(h, []).append(t)
+    for h, ts in per_host.items():
+        ts = sorted(ts)
+        gaps = np.diff(ts)
+        assert (gaps >= policies.delay_ms(h)).all(), (h, gaps.min())
+
+
+def test_payload_rows_match_oracle(crawl_t1):
+    _, result, oracle = crawl_t1
+    payload = result.payload_dataset().to_pandas()
+    # no duplicate image_id; exact set equality with oracle
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+    for _, row in payload.iterrows():
+        truth = oracle.images[row["image_id"]]
+        assert row["caption"] == truth["caption"]
+        assert row["fmt"] == truth["fmt"]
+        assert row["w"] == truth["w"] and row["h"] == truth["h"]
+        assert row["phash"] == truth["phash"]
+        assert row["bytes"] == truth["bytes"]
+
+
+def test_metrics_accumulate(crawl_t1):
+    _, result, _ = crawl_t1
+    assert result.rounds >= 2
+    total_fetched = sum(m["urls_fetched"] for m in result.metrics)
+    assert total_fetched == len(result.schedule_history().filter(
+        pc.equal(result.schedule_history().column("verdict"), ALLOWED)
+    ))

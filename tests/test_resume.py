@@ -1,0 +1,88 @@
+"""Checkpoint/resume conformance (FIXTURES.md §6.6): kill after round k,
+restart, identical final seen set and payload rows, no duplicate image_id."""
+
+import io
+
+import numpy as np
+import pytest
+
+from distributed_web_crawling_system_ray.config import CrawlConfig
+from distributed_web_crawling_system_ray.oracle import crawl_oracle
+from distributed_web_crawling_system_ray.sources.synthweb import WebStore, build_fixture
+
+
+@pytest.fixture(scope="module")
+def resumed_crawl(ray_session, tmp_path_factory):
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_resume"))
+    cfg_partial = CrawlConfig(seen_shards=2, scheduler_shards=2, max_rounds=2)
+    partial = run_crawl(fixture, cfg_partial, work_dir=work)
+    assert partial.rounds == 2  # stopped mid-crawl ("killed after round k")
+    cfg_full = CrawlConfig(seen_shards=2, scheduler_shards=2)
+    result = run_crawl(fixture, cfg_full, work_dir=work, resume=True)
+    oracle = crawl_oracle(WebStore(fixture))
+    return fixture, result, oracle
+
+
+def test_resume_seen_set(resumed_crawl):
+    _, result, oracle = resumed_crawl
+    hist = result.frontier_history()
+    assert set(hist.column("canon").to_pylist()) == set(oracle.seen.keys())
+
+
+def test_resume_payload_no_dups(resumed_crawl):
+    _, result, oracle = resumed_crawl
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
+def test_resume_order(resumed_crawl):
+    import pyarrow.compute as pc
+
+    _, result, oracle = resumed_crawl
+    sched = result.schedule_history()
+    allowed = sched.filter(pc.equal(sched.column("verdict"), 0))
+    rows = sorted(
+        zip(
+            allowed.column("depth").to_pylist(),
+            allowed.column("rank_path").to_pylist(),
+            allowed.column("canon").to_pylist(),
+        )
+    )
+    assert [c for _, _, c in rows] == [o["canon_url"] for o in oracle.order]
+
+
+def test_pixel_invariants(resumed_crawl):
+    """Per-row payload invariant (BASELINE.json input_hint): decoded pixels
+    exact for PNG, PSNR >= 40 dB for lossy, vs the pre-encode oracle pixels."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.functions.codec import (
+        decode_image,
+        psnr,
+    )
+
+    fixture, result, _ = resumed_crawl
+    oracle_px = pq.read_table(os.path.join(fixture, "oracle_pixels.parquet"))
+    truth = dict(
+        zip(
+            oracle_px.column("image_id").to_pylist(),
+            oracle_px.column("pixels_npy").to_pylist(),
+        )
+    )
+    payload = result.payload_dataset().to_pandas()
+    assert len(payload) > 0
+    for _, row in payload.iterrows():
+        want = np.load(io.BytesIO(truth[row["image_id"]]))
+        got, fmt = decode_image(row["bytes"])
+        assert got.shape == want.shape
+        if fmt == "png":
+            assert np.array_equal(got, want)
+        else:
+            p = psnr(want, got)
+            assert p >= 40.0, (row["image_id"], p)
