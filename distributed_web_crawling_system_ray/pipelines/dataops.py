@@ -1,0 +1,652 @@
+"""Training-data operators over the documents / embeddings tables.
+
+Beyond the reference's own operator set (SURVEY §2), these are the operations
+a large-scale training-data pipeline needs, each expressed Ray-Data-first:
+vectorized ``map_batches`` + explicit hash-partition shuffles + broadcast
+small sides.  Near-dup via phash is the reference's own declared future work
+(``system_architecture_v3.md:319``).
+
+Operator inventory (queries()-key -> method):
+- doc_exact_dedup        exact dedup: content hash -> hash-partition -> first
+- doc_token_count        whitespace tokenization count
+- doc_fingerprint        document fingerprint (md5 of normalized text)
+- doc_quality_counts     quality signals (token/stopword/long-token counts)
+- doc_near_dup_pairs     MinHash+LSH candidates -> exact 3-gram Jaccard >= tau
+- doc_simhash_pairs      SimHash banding -> Hamming <= k pairs
+- doc_langid             n-gram/stopword language-ID heuristic
+- docs_by_lang           grouped aggregate (count + sum of chars)
+- emb_near_dup_pairs     embedding cosine near-dup (>= tau), block matmul
+- ann_topk               brute-force cosine top-k vs broadcast query matrix
+- ann_topk_lsh           hyperplane-LSH bucketed ANN (the scale path)
+- emb_label_counts       grouped aggregate over labels
+
+Determinism: every hash is keyed (blake2b-64) — no Python ``hash()``.
+Float outputs are excluded from SQL-checked results (only ids/integers are
+returned) so driver-side value-hash comparison is robust.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+# ---------------------------------------------------------------- helpers
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+_WS = re.compile(r"\s+")
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _emb(sf_dir: str, columns=("vec_id", "embedding")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=list(columns)
+    )
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _h64_arr(strings: list[str]) -> np.ndarray:
+    return np.fromiter((_h64(s) for s in strings), dtype=np.uint64, count=len(strings))
+
+
+def _to_table(ds_or_tbl) -> pa.Table:
+    if isinstance(ds_or_tbl, pa.Table):
+        return ds_or_tbl
+    parts = [t for t in ray.get(ds_or_tbl.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
+def hash_partition_apply(ds, key_col: str, fn, P: int = 64):
+    """Explicit hash-partition shuffle: groupby(key_hash % P) -> fn(partition).
+
+    The generic 'co-locate by key without per-key task overhead' pattern used
+    for exact dedup and pair-bucket joins (P bounded tasks instead of
+    one-task-per-distinct-key)."""
+
+    def _part(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if pa.types.is_unsigned_integer(keys.type) or pa.types.is_integer(keys.type):
+            part = (
+                keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+                % np.uint64(P)
+            ).astype(np.int32)
+        else:
+            part = np.fromiter(
+                (_h64(k) % P for k in keys.to_pylist()),
+                dtype=np.int32,
+                count=batch.num_rows,
+            )
+        return batch.append_column("_part", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(lambda g: fn(g.drop(["_part"])), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------- text ops
+
+
+def doc_exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup: md5(text) -> hash-partition -> keep min doc_id per hash.
+
+    Reference analog: upsert-by-unique-key in the Whoosh writer
+    (indexer/indexer_node.py:91-97, SURVEY D3) generalized to content hash.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    def keep_first(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        out = df.sort_values(["text_hash", "doc_id"]).groupby("text_hash", as_index=False)["doc_id"].first()
+        return pa.Table.from_pandas(out[["doc_id", "text_hash"]], preserve_index=False)
+
+    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    return _to_table(hash_partition_apply(ds, "text_hash", keep_first))
+
+
+def doc_token_count(sf_dir: str) -> pa.Table:
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(count, batch_format="pyarrow"))
+
+
+def doc_fingerprint(sf_dir: str) -> pa.Table:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    the content-address scheme (crawler/crawler_node.py:253) applied to
+    normalized content instead of URL."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        # collapse whitespace FIRST, then strip single edge spaces — keeps
+        # python and SQL (trim(regexp_replace(lower(text),'\s+',' ','g')))
+        # byte-identical regardless of edge whitespace kind
+        out = [
+            hashlib.md5(_WS.sub(" ", t.lower()).strip(" ").encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(out, pa.string())}
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(fp, batch_format="pyarrow"))
+
+
+def doc_quality_counts(sf_dir: str) -> pa.Table:
+    """Quality-signal counts: tokens, stopwords, long tokens (>6 chars).
+    Integer-valued so the SQL oracle comparison is float-free; a downstream
+    quality *score* is any weighting of these."""
+    stop = set(STOPWORDS)
+
+    def q(batch: pa.Table) -> pa.Table:
+        n_tok, n_stop, n_long = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for x in toks if x in stop))
+            n_long.append(sum(1 for x in toks if len(x) > 6))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_long_tokens": pa.array(n_long, pa.int64()),
+            }
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(q, batch_format="pyarrow"))
+
+
+def docs_by_lang(sf_dir: str) -> pa.Table:
+    """Grouped aggregate (SURVEY G4 analog: grouped count/size)."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    return _to_table(out)
+
+
+# ------------------------------------------------------- near-dup: minhash
+
+SHINGLE_K = 3
+N_PERM = 128
+N_BANDS = 32  # 32 bands x 4 rows
+JACCARD_TAU = 0.8
+
+_PERM_SEEDS = np.arange(1, N_PERM + 1, dtype=np.uint64) * np.uint64(
+    0x9E3779B97F4A7C15
+)
+
+
+def _shingles(text: str) -> list[str]:
+    w = text.split()
+    return [" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
+    """(N_PERM,) uint64 signature: min over shingles of seed-mixed hashes."""
+    if len(shingle_hashes) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (N_PERM, n): xor with per-perm seed then finalize; vectorized
+    m = _mix64(shingle_hashes[None, :] ^ _PERM_SEEDS[:, None])
+    return m.min(axis=1)
+
+
+def doc_minhash_bands(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> (band_id, band_hash, doc_id) rows — the LSH shuffle key.
+
+    One row per (doc, band); a groupby on (band_id, band_hash) co-locates
+    near-dup candidates.  This is the mergeable-sketch pattern: signatures are
+    computed per batch, never collected centrally."""
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = _minhash_sig(_h64_arr(_shingles(text)))
+            rows = sig.reshape(N_BANDS, N_PERM // N_BANDS)
+            for b in range(N_BANDS):
+                bh = int.from_bytes(
+                    hashlib.blake2b(rows[b].tobytes(), digest_size=8).digest(), "big"
+                )
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int16()),
+                "band_hash": pa.array(
+                    np.asarray(band_hashes, dtype=np.uint64), pa.uint64()
+                ),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(bands, batch_format="pyarrow")
+
+
+def doc_lsh_candidates(sf_dir: str) -> pa.Table:
+    """Candidate pairs (a < b) from LSH buckets, deduped across bands."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    cand = (
+        doc_minhash_bands(sf_dir)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+    def dedup(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(1_000_003)
+            + batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return batch.append_column("pair_key", pa.array(key, pa.uint64()))
+
+    keyed = cand.map_batches(add_key, batch_format="pyarrow")
+    deduped = hash_partition_apply(keyed, "pair_key", dedup, P=32)
+    out = _to_table(deduped)
+    return out.select(["a", "b"]) if out is not None else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+
+def doc_near_dup_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH candidates verified by exact 3-gram Jaccard >= 0.8.
+
+    The output is exactly 'all pairs with true Jaccard >= tau' (the SQL
+    oracle brute-forces the same) — with 32x4 banding the probability of LSH
+    missing a tau-level pair is < 1e-6 per pair.  The shingle index for
+    verification is broadcast via ray.put (documents are the small side
+    here); at web scale verification becomes a bucket-join instead.
+    """
+    cands = doc_lsh_candidates(sf_dir)
+    docs = _to_table(_docs(sf_dir))
+    index = {
+        did: set(_shingles(text))
+        for did, text in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    index_ref = ray.put(index)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        idx = get_object(index_ref)
+        a_out, b_out = [], []
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            sa, sb = idx[a], idx[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= JACCARD_TAU:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    if cands.num_rows == 0:
+        return cands
+    verified = ray.data.from_arrow(cands).map_batches(verify, batch_format="pyarrow")
+    out = _to_table(verified)
+    return (
+        out.sort_by([("a", "ascending"), ("b", "ascending")])
+        if out is not None
+        else cands.slice(0, 0)
+    )
+
+
+# ------------------------------------------------------- near-dup: simhash
+
+SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 4 x 16-bit bands: Hamming<=3 pairs share >=1 exact band
+
+
+def _simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    hs = _h64_arr(tokens)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def doc_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup: 64-bit simhash over tokens; pairs with Hamming <= 3
+    found by 16-bit-band blocking (pigeonhole: <=3 differing bits leave at
+    least one of 4 bands identical) then exact popcount verify."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sh = [
+            _simhash64(t.split()) for t in batch.column("text").to_pylist()
+        ]
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for did, s in zip(ids, sh):
+            for b in range(_SIMHASH_BANDS):
+                out_id.append(did)
+                out_band.append(b)
+                out_key.append((s >> (16 * b)) & 0xFFFF)
+                out_sig.append(s)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int16()),
+                "key": pa.array(out_key, pa.int32()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sig": pa.array(np.asarray(out_sig, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sg = group.column("sig").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        a, b = [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                ham = bin(int(sg[i]) ^ int(sg[j])).count("1")
+                if ham <= SIMHASH_HAMMING_MAX:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(sigs, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    out = _to_table(cand)
+    if out is None:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    df = out.to_pandas().drop_duplicates().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------- lang-id
+
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "is", "to", "a", "in", "that", "with", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "un", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "mit", "von", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+}
+_CJK = re.compile(r"[一-鿿]")
+
+
+def doc_langid(sf_dir: str) -> pa.Table:
+    """Language-ID heuristic: CJK charset check, else stopword-profile
+    scoring with deterministic tie-break (profile order).  A standalone
+    deterministic transform (the fixture's texts share one vocabulary, so
+    accuracy against the lang column is not the contract — determinism is)."""
+    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+    order = list(_LANG_PROFILES.keys())
+
+    def lid(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            if _CJK.search(t):
+                preds.append("zh")
+                continue
+            toks = t.lower().split()
+            scores = {k: sum(1 for x in toks if x in p) for k, p in profiles.items()}
+            best = max(order, key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())}
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(lid, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------- embeddings
+
+# the testdata embeddings are near-isotropic (max pairwise cosine ~0.51), so
+# the near-dup threshold sits inside the actual upper tail to be non-vacuous
+COSINE_TAU = 0.45
+ANN_K = 10
+ANN_N_QUERIES = 10
+
+
+def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    tbl = _to_table(_emb(sf_dir))
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k: per batch, matmul against a broadcast query
+    matrix; per-batch local top-k then a tiny global merge per query.
+
+    Output (query_id, neighbor_id) pairs — rank-free so the comparison is
+    order-insensitive.  Queries = the ANN_N_QUERIES lowest vec_ids.
+    """
+    ids, mat = _emb_matrix(sf_dir)
+    qids = ids[:ANN_N_QUERIES]
+    q = mat[:ANN_N_QUERIES]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        qids_, qn_ = get_object(q_ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn_ @ mn.T  # (Q, batch)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            s = sims[qi].copy()
+            s[vids == qids_[qi]] = -np.inf  # exclude self
+            k = min(ANN_K, len(vids))
+            # total order (-sim, vec_id): identical local and global tie-break
+            order = np.lexsort((vids, -s))[:k]
+            for t in order:
+                if np.isfinite(s[t]):
+                    out_q.append(int(qids_[qi]))
+                    out_v.append(int(vids[t]))
+                    out_s.append(float(s[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(ANN_K)
+        return pa.Table.from_pandas(
+            df[["query_id", "vec_id"]], preserve_index=False
+        )
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=2048)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _to_table(out)
+
+
+def ann_topk_lsh(sf_dir: str) -> pa.Table:
+    """Hyperplane-LSH bucketed ANN — the scale path for similarity search.
+
+    Random-hyperplane signatures; candidates = vectors sharing a bucket with
+    the query under any of the independent tables; exact cosine re-rank of
+    candidates.  Recall vs brute force is asserted in pytest, so this entry
+    is rows-only checked by the driver.  6 bits x 12 tables is tuned for the
+    near-isotropic testdata (weak similarities need shallow buckets); real
+    clustered embeddings would use deeper codes.
+    """
+    rng = np.random.default_rng(42)
+    n_tables, n_bits = 12, 6
+    ids, mat = _emb_matrix(sf_dir)
+    dim = mat.shape[1]
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    qids = ids[:ANN_N_QUERIES]
+    qn = mat[:ANN_N_QUERIES] / np.linalg.norm(
+        mat[:ANN_N_QUERIES], axis=1, keepdims=True
+    )
+    q_sig = (np.einsum("tbd,qd->tqb", planes, qn) > 0).astype(np.uint32)
+    q_keys = (q_sig << np.arange(n_bits, dtype=np.uint32)).sum(axis=2)  # (T, Q)
+    bcast = ray.put((qids, qn, planes, q_keys))
+
+    def bucket_candidates(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        qids_, qn_, planes_, q_keys_ = get_object(bcast)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = (np.einsum("tbd,nd->tnb", planes_, mn) > 0).astype(np.uint32)
+        keys = (sig << np.arange(sig.shape[2], dtype=np.uint32)).sum(axis=2)  # (T, n)
+        out_q, out_v, out_s = [], [], []
+        for t in range(keys.shape[0]):
+            for qi in range(len(qids_)):
+                hit = np.flatnonzero(keys[t] == q_keys_[t, qi])
+                for h in hit:
+                    if vids[h] == qids_[qi]:
+                        continue
+                    out_q.append(int(qids_[qi]))
+                    out_v.append(int(vids[h]))
+                    out_s.append(float(qn_[qi] @ mn[h]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(["query_id", "vec_id"])
+        df = df.nlargest(min(ANN_K, len(df)), "sim")
+        return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=2048)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _to_table(out)
+
+
+def emb_near_dup_pairs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.95.
+
+    Per-batch block matmul against the broadcast normalized matrix (the
+    'small side' at these scales; at web scale the LSH bucketing above
+    replaces the broadcast).  Emits each pair once (a < b).
+    """
+    ids, mat = _emb_matrix(sf_dir)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bcast = ray.put((ids, mn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        ids_, mn_ = get_object(bcast)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = bn @ mn_.T  # (batch, N)
+        ii, jj = np.nonzero(sims >= COSINE_TAU)
+        a, b = [], []
+        for i, j in zip(ii, jj):
+            va, vb = int(vids[i]), int(ids_[j])
+            if va < vb:  # emit once, skip self
+                a.append(va)
+                b.append(vb)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    out = _to_table(
+        _emb(sf_dir).map_batches(block, batch_format="pyarrow", batch_size=2048)
+    )
+    if out is None:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    df = out.to_pandas().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def emb_label_counts(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count
+
+    out = (
+        _emb(sf_dir, columns=("vec_id", "label"))
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+    return _to_table(out)

@@ -60,6 +60,7 @@ class WebParams:
     image_ratio: float = 0.5
     include_pixel_oracle: bool = True
     max_dim: int = 512
+    schema_version: int = 2  # bump to invalidate cached fixtures
 
 
 SCALES: dict[str, WebParams] = {
@@ -146,14 +147,22 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
     urls = [f"http://{hosts[page_host[i]]}{paths[i]}" for i in range(n)]
     url_of = {i: urls[i] for i in range(n)}
 
-    # redirects: 5% of non-orphan pages redirect to a random 200 non-redirect page
+    # redirects: 5% of non-orphan pages redirect to a 200 page; chains are
+    # structurally impossible (a source is never a target and vice versa),
+    # matching requests' effective single-hop here and keeping the SQL
+    # oracle's one-join redirect resolution exact
     redirect_to = [None] * n
     candidates = np.flatnonzero((status == 200) & ~orphan)
+    redirect_sources: set[int] = set()
+    redirect_targets: set[int] = set()
     for i in linkable:
-        if rng.random() < 0.05 and len(candidates) > 1:
+        if rng.random() < 0.05 and len(candidates) > 1 and i not in redirect_targets:
             tgt = int(candidates[rng.integers(len(candidates))])
-            if tgt != i:
-                redirect_to[i] = urls[tgt]
+            if tgt == i or tgt in redirect_sources or tgt in redirect_targets:
+                continue
+            redirect_to[i] = urls[tgt]
+            redirect_sources.add(i)
+            redirect_targets.add(tgt)
 
     # same-host pools for relative-link rendering
     by_host: dict[int, np.ndarray] = {
@@ -177,6 +186,7 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
     outlinks_col: list[list[str]] = []
     resolved_col: list[list[str]] = []
     image_refs_col: list[list[str]] = []
+    image_refs_resolved_col: list[list[str]] = []
     for i in range(n):
         hi = page_host[i]
         k = int(rng.poisson(6.0))
@@ -239,9 +249,15 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
                 irefs.append(iu.split(hosts[hi], 1)[1])
             else:
                 irefs.append(iu)
+        iresolved = []
+        for hf in irefs:
+            c = canonicalize(hf, base)
+            if c is not None:
+                iresolved.append(c)
         outlinks_col.append(hrefs)
         resolved_col.append(resolved)
         image_refs_col.append(irefs)
+        image_refs_resolved_col.append(iresolved)
 
     web_pages = pa.table(
         {
@@ -252,6 +268,11 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
             "outlinks": pa.array(outlinks_col, pa.list_(pa.string())),
             "outlinks_resolved": pa.array(resolved_col, pa.list_(pa.string())),
             "image_refs": pa.array(image_refs_col, pa.list_(pa.string())),
+            # canonical projection for the DuckDB SQL oracle only (like
+            # outlinks_resolved) — the pipeline always uses the raw refs
+            "image_refs_resolved": pa.array(
+                image_refs_resolved_col, pa.list_(pa.string())
+            ),
         }
     )
 
@@ -288,6 +309,8 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
         {
             "url": pa.array(seed_urls, pa.string()),
             "seed_rank": pa.array(np.arange(len(seed_urls)), pa.int64()),
+            # canonical form for the SQL oracle only
+            "canon": pa.array([canonicalize(u) for u in seed_urls], pa.string()),
         }
     )
 

@@ -1,0 +1,120 @@
+"""Training-data operator tests: sketch-based ops validated against exact
+brute-force ground truth (the non-SQL-checkable entries), plus determinism."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _texts():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_near_dup_pairs_match_bruteforce():
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        JACCARD_TAU,
+        _shingles,
+        doc_near_dup_pairs,
+    )
+
+    texts = _texts()
+    sh = {d: set(_shingles(t)) for d, t in texts.items()}
+    ids = sorted(sh)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if not sh[a] and not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter / (len(sh[a]) + len(sh[b]) - inter) >= JACCARD_TAU:
+                want.add((a, b))
+    got_tbl = doc_near_dup_pairs(SF)
+    got = set(zip(got_tbl.column("a").to_pylist(), got_tbl.column("b").to_pylist()))
+    assert got == want
+    assert len(want) > 0  # the testdata plants near-dups; non-vacuous
+
+
+def test_simhash_pairs_no_false_positives_and_deterministic():
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        SIMHASH_HAMMING_MAX,
+        _simhash64,
+        doc_simhash_pairs,
+    )
+
+    texts = _texts()
+    sigs = {d: _simhash64(t.split()) for d, t in texts.items()}
+    got1 = doc_simhash_pairs(SF)
+    got2 = doc_simhash_pairs(SF)
+    assert got1.equals(got2)  # deterministic
+    # banding is exhaustive for Hamming <= max (pigeonhole): compare to brute
+    ids = sorted(sigs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1") <= SIMHASH_HAMMING_MAX:
+                want.add((ids[i], ids[j]))
+    got = set(zip(got1.column("a").to_pylist(), got1.column("b").to_pylist()))
+    assert got == want
+
+
+def test_ann_lsh_recall():
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        ann_topk,
+        ann_topk_lsh,
+    )
+
+    exact = set(
+        zip(
+            ann_topk(SF).column("query_id").to_pylist(),
+            ann_topk(SF).column("vec_id").to_pylist(),
+        )
+    )
+    approx = set(
+        zip(
+            ann_topk_lsh(SF).column("query_id").to_pylist(),
+            ann_topk_lsh(SF).column("vec_id").to_pylist(),
+        )
+    )
+    recall = len(exact & approx) / len(exact)
+    # near-isotropic vectors are LSH-adversarial; still must beat random
+    # candidate sampling by a wide margin
+    assert recall >= 0.3, recall
+
+
+def test_exact_dedup_covers_all_texts():
+    from distributed_web_crawling_system_ray.pipelines.dataops import doc_exact_dedup
+
+    texts = _texts()
+    out = doc_exact_dedup(SF)
+    assert out.num_rows == len(set(texts.values()))
+    # kept ids are the minimum per duplicate group
+    import hashlib
+
+    first: dict[str, int] = {}
+    for d in sorted(texts):
+        h = hashlib.md5(texts[d].encode()).hexdigest()
+        first.setdefault(h, d)
+    got = dict(
+        zip(out.column("text_hash").to_pylist(), out.column("doc_id").to_pylist())
+    )
+    assert got == first
+
+
+def test_langid_deterministic_and_total():
+    from distributed_web_crawling_system_ray.pipelines.dataops import doc_langid
+
+    out = doc_langid(SF)
+    texts = _texts()
+    assert out.num_rows == len(texts)
+    preds = set(out.column("lang_pred").to_pylist())
+    assert preds <= {"en", "es", "de", "fr", "zh", "unknown"}
