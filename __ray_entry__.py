@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": dataops.ann_topk,
         "ann_topk_lsh": dataops.ann_topk_lsh,
         "emb_label_counts": dataops.emb_label_counts,
+        # --- stream-shaped ops over events (windows/sessionization) ---
+        "events_tumbling_counts": dataops.events_tumbling_counts,
+        "events_hourly_active_users": dataops.events_hourly_active_users,
+        "events_user_sessions": dataops.events_user_sessions,
+        "events_type_value_stats": dataops.events_type_value_stats,
     }
 
 
@@ -122,6 +127,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_label_counts": (
             "SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label"
+        ),
+        # floor() before the cast: BIGINT casts in DuckDB round-to-nearest,
+        # which would shift hour-boundary events with fractional seconds
+        "events_tumbling_counts": (
+            "SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS window_id, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
+        ),
+        "events_hourly_active_users": (
+            "SELECT floor(epoch(ts) / 3600)::BIGINT AS window_id, "
+            "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1"
+        ),
+        "events_user_sessions": (
+            "WITH d AS (SELECT user_id, epoch(ts) - epoch(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
+            "SELECT user_id, (1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END))::BIGINT "
+            "AS n_sessions FROM d GROUP BY user_id"
+        ),
+        "events_type_value_stats": (
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
+            "FROM events GROUP BY event_type"
         ),
         # doc_simhash_pairs / doc_langid / ann_topk_lsh: rows-only by design
         # (sketch thresholds and learned-profile scoring are not ANSI-SQL

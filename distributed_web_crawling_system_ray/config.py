@@ -37,6 +37,11 @@ class CrawlConfig:
     scheduler_shards: int = 4   # HostSchedulerShard actors (hash(host) % M)
     fetch_concurrency: int = 8  # fetch/decode actor pool size
     fetch_batch_size: int = 256
+    # decode batch sizing: rows are wide (binary image bytes) — size by
+    # payload bytes, not row count, when images are large.  512 x ~60 KB
+    # fixture images ~= 30 MB/batch; at tiny batches (64) per-task overhead
+    # dominated 7x over decode compute (measured in a round-5 replay).
+    decode_batch_size: int = 512
     # hot-host bound: at most this many URLs are scheduled per host per round
     # (priority order); overflow is deferred to the next round.  This bounds
     # every groupby(host) group (skew control) — politeness is intentional

@@ -1,0 +1,107 @@
+"""CLI / ``ray job submit`` entry point.
+
+Examples
+--------
+Run the BFS crawl on the t2 fixture::
+
+    python -m distributed_web_crawling_system_ray.main crawl --scale t2 --work-dir /tmp/crawl
+
+    ray job submit -- python -m distributed_web_crawling_system_ray.main crawl \
+        --scale bench --work-dir /tmp/crawl --num-cpus 32
+
+Resume after an interruption (same work dir)::
+
+    python -m distributed_web_crawling_system_ray.main crawl --scale t2 \
+        --work-dir /tmp/crawl --resume
+
+Sustained fetch+decode throughput pass::
+
+    python -m distributed_web_crawling_system_ray.main sustained --scale bench
+
+Replaces the reference's three CLI surfaces (master/crawler/indexer argparse,
+``master/master_node.py:276-289`` etc.) with one job entry; a job owns its
+Ray session (guarded init) as the driver contract requires.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="distributed_web_crawling_system_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc_ = sub.add_parser("crawl", help="run the BFS crawl over a fixture scale")
+    pc_.add_argument("--scale", default="t2", choices=["t1", "t2", "bench"])
+    pc_.add_argument("--work-dir", default=None)
+    pc_.add_argument("--resume", action="store_true")
+    pc_.add_argument("--num-cpus", type=int, default=None)
+    pc_.add_argument("--max-rounds", type=int, default=64)
+    pc_.add_argument("--per-host-budget", type=int, default=1 << 31)
+    pc_.add_argument("--real-time-politeness", action="store_true")
+
+    ps = sub.add_parser("sustained", help="one-pass fetch+decode throughput")
+    ps.add_argument("--scale", default="bench", choices=["t1", "t2", "bench"])
+    ps.add_argument("--out-dir", default=None)
+    ps.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _ensure_ray(getattr(args, "num_cpus", None))
+
+    from distributed_web_crawling_system_ray.config import CrawlConfig
+    from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
+
+    fixture = build_fixture(args.scale)
+    if args.cmd == "crawl":
+        from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+        cfg = CrawlConfig(
+            max_rounds=args.max_rounds,
+            per_host_round_budget=args.per_host_budget,
+            real_time_politeness=args.real_time_politeness,
+        )
+        res = run_crawl(fixture, cfg, work_dir=args.work_dir, resume=args.resume)
+        print(
+            json.dumps(
+                {
+                    "rounds": res.rounds,
+                    "work_dir": res.work_dir,
+                    "out_dir": res.out_dir,
+                    "urls_fetched": sum(m["urls_fetched"] for m in res.metrics),
+                    "images_written": sum(m["images_written"] for m in res.metrics),
+                    "metrics": res.metrics,
+                }
+            )
+        )
+    else:
+        from distributed_web_crawling_system_ray.pipelines.bulk import (
+            bulk_fetch_decode,
+        )
+
+        print(json.dumps(bulk_fetch_decode(fixture, CrawlConfig(), args.out_dir)))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""Sustained fetch+decode: the whole URL set through one streaming pipeline.
+
+This is the BASELINE.json headline measurement ("sustained fetch+decode
+throughput, URLs/sec and rows/sec"): a single bounded pass with no BFS
+feedback — every page URL scheduled (robots + virtual politeness), fetched,
+its image refs decoded, payload written partitioned.  One pipeline = the
+streaming executor overlaps every stage, so throughput is bounded by compute
+(decode) rather than per-round barriers.
+
+Measurement protocol (``bench.py --scaling``): input loading + store
+broadcast are setup, not throughput; a small warmup pass spins up the worker
+pool; ``repeat`` stacks R copies of the URL set (distinct rank paths) into
+one pipeline so the measured window is long enough to amortize the fixed
+pipeline start/stop cost at the higher parallelism level.  With repeat>1 the
+image-seen anti-join is skipped (every copy decodes its refs) — image dedup
+is measured by the BFS crawl bench; this pass measures raw sustained
+fetch+decode.
+
+The BFS crawl (pipelines/crawl.py) shares every stage with this; the only
+difference is the frontier source (full set vs per-round discovery).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from distributed_web_crawling_system_ray.config import CrawlConfig
+from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+from distributed_web_crawling_system_ray.stages.fetch import (
+    decode_images,
+    extract_image_candidates,
+    fetch_pages,
+)
+from distributed_web_crawling_system_ray.state.scheduler import (
+    ALLOWED,
+    schedule_hosts_batch,
+)
+from distributed_web_crawling_system_ray.state.seen import SeenPool
+
+
+def _frontier_chunks(pages: pa.Table, repeat: int, n_chunks: int) -> list[pa.Table]:
+    """R stacked copies of the URL set, HOST-PARTITIONED driver-side: the
+    table is sorted by host once and chunk boundaries are cut along host
+    changes, so every host lands wholly in one block.  The scheduler can
+    then run as a plain map_batches — the politeness partitioning key is
+    established at the source and reused, replacing a 10-second groupby sort
+    (measured at bench scale) with zero shuffle."""
+    pages = pages.sort_by("host")
+    hosts = pages.column("host").to_pylist()
+    n = pages.num_rows
+    target = max(1, n // max(1, n_chunks // max(1, repeat)))
+    # boundaries at host changes nearest each target multiple
+    bounds = [0]
+    i = target
+    while i < n:
+        j = i
+        while j < n and hosts[j] == hosts[j - 1]:
+            j += 1
+        if j > bounds[-1]:
+            bounds.append(j)
+        i = j + target
+    if bounds[-1] != n:
+        bounds.append(n)
+    chunks: list[pa.Table] = []
+    for r in range(repeat):
+        base = pa.table(
+            {
+                "url": pages.column("url"),
+                "canon": pages.column("url"),
+                "url_hash": pa.array(np.zeros(n, dtype=np.uint64), pa.uint64()),
+                "host": pages.column("host"),
+                "depth": pa.array(np.full(n, r, dtype=np.int32), pa.int32()),
+                "rank_path": pa.array(
+                    [int(i).to_bytes(RANK_BYTES, "big") for i in range(n)],
+                    pa.binary(),
+                ),
+            }
+        )
+        for a, b in zip(bounds, bounds[1:]):
+            chunks.append(base.slice(a, b - a))
+    return chunks
+
+
+def _schedule_phase(chunks, store_refs, cfg) -> list[pa.Table]:
+    """Phase 1: politeness/robots scheduling over host-partitioned chunks
+    (cheap, metadata-sized).  Returns ALLOWED rows re-chunked evenly —
+    hot-host skew ends here; politeness stays host-authoritative because
+    each host was scheduled in exactly one batch."""
+    clocks_ref = ray.put({})
+    fr_ds = ray.data.from_arrow(chunks)
+    schedule = fr_ds.map_batches(
+        schedule_hosts_batch,
+        fn_kwargs={
+            "robots_ref": store_refs[1],
+            "clocks_ref": clocks_ref,
+            "per_host_round_budget": cfg.per_host_round_budget,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["verdict"], ALLOWED)), batch_format="pyarrow"
+    )
+    parts = [t for t in ray.get(schedule.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return []
+    allowed = pa.concat_tables(parts).combine_chunks()
+    n = allowed.num_rows
+    step = max(256, n // max(1, len(chunks)))
+    return [allowed.slice(o, min(step, n - o)) for o in range(0, n, step)]
+
+
+def _fetch_decode_phase(
+    chunks, store_refs, cfg, image_seen
+) -> "ray.data.Dataset":
+    """Phase 2: the heavy streaming pipeline over evenly-sized chunks."""
+    if not chunks:
+        from distributed_web_crawling_system_ray.schema import PAYLOAD
+
+        return ray.data.from_arrow(PAYLOAD.empty_table())
+    results = ray.data.from_arrow(chunks).map_batches(
+        fetch_pages,
+        fn_kwargs={"store_refs": store_refs},
+        batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size,
+    )
+    img_cands = results.map_batches(extract_image_candidates, batch_format="pyarrow")
+    robots_ref = store_refs[1]
+
+    def _robots_gate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        from distributed_web_crawling_system_ray.stages.cache import get_policies
+
+        policies = get_policies(robots_ref)
+        hosts = batch.column("host").to_pylist()
+        canons = batch.column("canon").to_pylist()
+        ok = np.fromiter(
+            (policies.allows(hosts[i], canons[i]) for i in range(batch.num_rows)),
+            dtype=bool,
+            count=batch.num_rows,
+        )
+        return batch.filter(pa.array(ok, pa.bool_()))
+
+    img_cands = img_cands.map_batches(_robots_gate, batch_format="pyarrow")
+    if image_seen is not None:
+
+        def _img_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            new = ~image_seen.check_and_add(keys)
+            return batch.filter(pa.array(new, pa.bool_()))
+
+        img_cands = img_cands.map_batches(_img_filter, batch_format="pyarrow")
+    return img_cands.map_batches(
+        decode_images,
+        fn_kwargs={"store_refs": store_refs},
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+
+
+def _build_pipeline(chunks, store_refs, cfg, image_seen) -> "ray.data.Dataset":
+    sched_chunks = _schedule_phase(chunks, store_refs, cfg)
+    return _fetch_decode_phase(sched_chunks, store_refs, cfg, image_seen)
+
+
+def bulk_fetch_decode(
+    fixture_dir: str,
+    cfg: CrawlConfig | None = None,
+    out_dir: str | None = None,
+    repeat: int = 1,
+    warmup: bool = True,
+) -> dict:
+    """Run the sustained pass; returns throughput stats (timed window
+    excludes input loading, store broadcast and the warmup pass)."""
+    cfg = cfg or CrawlConfig()
+    if out_dir is None:
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="graft_bulk_")
+    # ---- setup (untimed): load input, broadcast the store once ----
+    pages = pq.read_table(
+        os.path.join(fixture_dir, "web_pages.parquet"), columns=["url", "host"]
+    )
+    store_refs = (
+        ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
+        ray.put(pq.read_table(os.path.join(fixture_dir, "robots.parquet"))),
+        ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
+    )
+    image_seen = (
+        SeenPool.create(max(2, cfg.seen_shards // 2), cfg.cuckoo_capacity)
+        if repeat == 1
+        else None
+    )
+    if warmup:  # spin up the worker pool + per-worker store handles
+        wchunks = _frontier_chunks(pages.slice(0, min(2048, pages.num_rows)), 1, 32)
+        _build_pipeline(wchunks, store_refs, cfg, None).count()
+
+    # ---- timed window: one streaming pipeline over R copies ----
+    chunks = _frontier_chunks(pages, repeat, n_chunks=256)
+    t0 = time.time()
+    payload = _build_pipeline(chunks, store_refs, cfg, image_seen)
+    payload.write_parquet(out_dir, compression="none")
+    wall = time.time() - t0
+
+    n_urls = pages.num_rows * repeat
+    n_images = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return {
+        "wall_s": round(wall, 3),
+        "repeat": repeat,
+        "urls": n_urls,
+        "urls_per_s": round(n_urls / wall, 1),
+        "images_written": n_images,
+        "rows_per_s": round(n_images / wall, 1),
+        "out_dir": out_dir,
+    }

@@ -214,6 +214,14 @@ def run_crawl(
     from distributed_web_crawling_system_ray.state.robots import RobotsPolicies
 
     driver_policies = RobotsPolicies.from_table(robots_table)
+    # broadcast the synthetic-web store once through the object store: all
+    # workers on a node share ONE zero-copy Arrow buffer (per-worker parquet
+    # parses of the images table cost 35-50 s each under I/O contention)
+    store_refs = (
+        ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
+        robots_ref,
+        ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
+    )
 
     clocks: dict[str, int] = {}
     metrics: list[dict] = []
@@ -245,9 +253,19 @@ def run_crawl(
     else:
         frontier = seed_frontier(fixture_dir, seen)
 
+    timing = os.environ.get("GRAFT_TIMING") == "1"
+
+    def _tick(label: str, marks: list, t: list) -> None:
+        if timing:
+            now = time.time()
+            marks.append((label, round(now - t[0], 2)))
+            t[0] = now
+
     rnd = start_round
     while frontier.num_rows > 0 and rnd < cfg.max_rounds:
         t0 = time.time()
+        marks: list = []
+        tmark = [t0]
         rd = round_dir(work_dir, rnd)
         os.makedirs(rd, exist_ok=True)
         pq.write_table(frontier, os.path.join(rd, "frontier.parquet"))
@@ -269,6 +287,7 @@ def run_crawl(
             batch_format="pyarrow",
         )
         schedule = schedule_ds.materialize()
+        _tick("schedule", marks, tmark)
         sched_parts = [t for t in ray.get(schedule.to_arrow_refs()) if t.num_rows]
         sched_tbl = (
             pa.concat_tables(sched_parts) if sched_parts else _empty_schedule()
@@ -302,17 +321,19 @@ def run_crawl(
         results = allowed_ds.map_batches(
             fetch_pages,
             fn_kwargs={
-                "fixture_dir": fixture_dir,
+                "store_refs": store_refs,
                 "real_time": cfg.real_time_politeness,
             },
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         ).materialize()
+        _tick("fetch", marks, tmark)
 
         n_fetched = results.count()
         n_ok = results.map_batches(
             lambda t: t.filter(pc.equal(t["status"], 200)), batch_format="pyarrow"
         ).count()
+        _tick("counts", marks, tmark)
 
         # --- payload branch: image refs -> image-seen anti-join -> robots
         # gate -> decode actor pool -> partitioned parquet sink (streaming)
@@ -345,11 +366,13 @@ def run_crawl(
             _img_filter, batch_format="pyarrow"
         ).map_batches(
             decode_images,
-            fn_kwargs={"fixture_dir": fixture_dir},
+            fn_kwargs={"store_refs": store_refs},
             batch_format="pyarrow",
-            batch_size=64,
+            batch_size=cfg.decode_batch_size,
         )
-        payload_ds.write_parquet(payload_dir)
+        # bytes are already image-compressed; parquet recompression is wasted CPU
+        payload_ds.write_parquet(payload_dir, compression="none")
+        _tick("payload", marks, tmark)
         n_images = sum(
             pq.read_metadata(os.path.join(payload_dir, f)).num_rows
             for f in os.listdir(payload_dir)
@@ -382,6 +405,7 @@ def run_crawl(
 
         new_frontier_ds = deduped.map_batches(_seen_filter, batch_format="pyarrow")
         nf_refs = ray.get(new_frontier_ds.to_arrow_refs())
+        _tick("links", marks, tmark)
         nf_refs = [t for t in nf_refs if t.num_rows]
         base_cols = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
         if nf_refs:
@@ -409,6 +433,9 @@ def run_crawl(
             "wall_s": round(time.time() - t0, 3),
         }
         metrics.append(m)
+        if timing:
+            _tick("commit_pre", marks, tmark)
+            print(f"[round {rnd}] " + " ".join(f"{k}={v}" for k, v in marks), flush=True)
         commit_round(
             work_dir,
             rnd,

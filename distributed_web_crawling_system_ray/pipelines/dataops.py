@@ -650,3 +650,121 @@ def emb_label_counts(sf_dir: str) -> pa.Table:
         .aggregate(Count(alias_name="n"))
     )
     return _to_table(out)
+
+
+# ------------------------------------------------------- events / windows
+# Ray Data has no event-time windowing primitives (guide: streaming-shaped
+# workloads); windows are expressed as keyed groupbys over integer window
+# ids, with per-batch partial aggregation before the shuffle (the combiner
+# pattern).  Sessionization is groupby(user).map_groups over the sorted
+# group — the reference has no windowing at all (SURVEY §2.9: processing-
+# time only), so these are training-data extensions.
+
+WINDOW_S = 3600
+SESSION_GAP_S = 1800
+
+
+def _events(sf_dir: str, columns) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=list(columns)
+    )
+
+
+def _window_ids(batch: pa.Table) -> np.ndarray:
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return ts // (WINDOW_S * 1_000_000)  # timestamp[us] -> hour bucket
+
+
+def events_tumbling_counts(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type: partial counts per batch,
+    then a small groupby over the partials (pre-aggregation combiner)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wid = _window_ids(batch)
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pylist(), "window_id": wid}
+        )
+        g = df.groupby(["event_type", "window_id"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _events(sf_dir, ("ts", "event_type"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _to_table(out)
+
+
+def events_hourly_active_users(sf_dir: str) -> pa.Table:
+    """Distinct users per 1-hour window: batch-level pair dedup, hash-
+    partitioned global dedup, then a count per window."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        wid = _window_ids(batch)
+        df = pd.DataFrame(
+            {"window_id": wid, "user_id": batch.column("user_id").to_pylist()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, ("ts", "user_id")).map_batches(pairs, batch_format="pyarrow")
+    ds = hash_partition_apply(ds, "user_id", dedup, P=32)
+    out = ds.groupby("window_id").aggregate(Count(alias_name="n_users"))
+    return _to_table(out)
+
+
+def events_user_sessions(sf_dir: str) -> pa.Table:
+    """Sessionization: per user, sorted by (ts, event_id), a session break is
+    a gap > 30 min.  groupby(user_id).map_groups over the sorted group — the
+    ordering assumption (full user history in one group) is what the keyed
+    shuffle guarantees."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()  # unit-agnostic (ns vs us)
+        n = int(1 + (gaps > SESSION_GAP_S).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = (
+        _events(sf_dir, ("ts", "user_id", "event_id"))
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+    return _to_table(out)
+
+
+def events_type_value_stats(sf_dir: str) -> pa.Table:
+    """Grouped aggregate with integer-safe value sums (cents)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pylist(),
+                "cents": np.round(
+                    batch.column("value").to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _events(sf_dir, ("event_type", "value"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+    return _to_table(out)

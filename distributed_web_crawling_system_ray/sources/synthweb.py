@@ -60,7 +60,7 @@ class WebParams:
     image_ratio: float = 0.5
     include_pixel_oracle: bool = True
     max_dim: int = 512
-    schema_version: int = 2  # bump to invalidate cached fixtures
+    schema_version: int = 4  # bump to invalidate cached fixtures
 
 
 SCALES: dict[str, WebParams] = {
@@ -371,7 +371,11 @@ def build_fixture(scale: str, root: str = FIXTURE_ROOT) -> str:
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root)
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"))
+        # images: bytes are already PNG/QJPG-compressed — store the parquet
+        # uncompressed so memory_map reads are zero-copy and the one file is
+        # shared across all worker processes via the OS page cache
+        comp = "none" if name == "images" else "snappy"
+        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"), compression=comp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(want)
     # atomic-ish publish
@@ -384,27 +388,53 @@ def build_fixture(scale: str, root: str = FIXTURE_ROOT) -> str:
 
 
 class WebStore:
-    """Read-side handle over a fixture dir: the 'network' the fetch stage hits.
-
-    Pages/robots are loaded eagerly (small); the images table is memory-mapped
-    so the bytes column stays in the OS page cache and is shared across fetch
-    actors on the same node — per-row ``bytes`` access copies only that row.
+    """Read-side handle over the synthetic web: the 'network' the fetch stage
+    hits.  Construct from a fixture dir (driver/tests/oracle) or from
+    preloaded Arrow tables (``from_tables`` — the crawl pipeline broadcasts
+    the tables through the Ray object store with ``ray.put`` so every worker
+    on a node shares ONE zero-copy Arrow buffer instead of re-parsing the
+    parquet per process; per-worker parses of the images table measured
+    35-50 s under crawl I/O contention at bench scale).
     """
 
-    def __init__(self, fixture_dir: str):
+    def __init__(
+        self,
+        fixture_dir: str | None = None,
+        *,
+        pages: pa.Table | None = None,
+        robots: pa.Table | None = None,
+        images: pa.Table | None = None,
+    ):
         self.dir = fixture_dir
-        pages = pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))
+        if pages is None:
+            pages = pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))
+        if robots is None:
+            robots = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
         self._page_idx: dict[str, int] = {
             u: i for i, u in enumerate(pages.column("url").to_pylist())
         }
         self._pages = pages
-        self._robots = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
-        self._images = pq.read_table(
-            os.path.join(fixture_dir, "images.parquet"), memory_map=True
-        )
-        self._img_idx: dict[str, int] = {
-            u: i for i, u in enumerate(self._images.column("image_url").to_pylist())
-        }
+        self._robots = robots
+        # images index builds lazily: fetch-side users never touch it
+        self._images: pa.Table | None = images
+        self._img_idx: dict[str, int] | None = None
+
+    @classmethod
+    def from_tables(
+        cls, pages: pa.Table, robots: pa.Table, images: pa.Table
+    ) -> "WebStore":
+        return cls(None, pages=pages, robots=robots, images=images)
+
+    def _ensure_images(self) -> None:
+        if self._images is None:
+            self._images = pq.read_table(
+                os.path.join(self.dir, "images.parquet"), memory_map=True
+            )
+        if self._img_idx is None:
+            self._img_idx = {
+                u: i
+                for i, u in enumerate(self._images.column("image_url").to_pylist())
+            }
 
     def robots_table(self) -> pa.Table:
         return self._robots
@@ -416,10 +446,94 @@ class WebStore:
         return {k: v[0] for k, v in self._pages.slice(i, 1).to_pydict().items()}
 
     def get_image(self, canon_url: str) -> dict | None:
+        self._ensure_images()
         i = self._img_idx.get(canon_url)
         if i is None:
             return None
         return {k: v[0] for k, v in self._images.slice(i, 1).to_pydict().items()}
+
+    def fetch_batch(self, canons: list[str]) -> dict[str, list]:
+        """Vectorized fetch: one ``take`` gather per batch instead of a
+        per-row slice+to_pydict (which costs ~0.1-1 ms/row in pyarrow call
+        overhead — the measured hot-path cost at bench scale).
+
+        Returns columnar lists: status, final_url, outlinks, image_refs.
+        Redirect resolution is a second gather (the fixture is chain-free by
+        construction, matching requests' effective single hop).
+        """
+        n = len(canons)
+        idxs = np.fromiter(
+            (self._page_idx.get(c, -1) for c in canons), dtype=np.int64, count=n
+        )
+        status: list[int] = [404] * n
+        finals: list[str] = list(canons)
+        outlinks: list[list[str]] = [[] for _ in range(n)]
+        image_refs: list[list[str]] = [[] for _ in range(n)]
+        found = np.flatnonzero(idxs >= 0)
+        if len(found) == 0:
+            return {
+                "status": status,
+                "final_url": finals,
+                "outlinks": outlinks,
+                "image_refs": image_refs,
+            }
+        sub = self._pages.take(pa.array(idxs[found]))
+        red = sub.column("redirect_to").to_pylist()
+        # second gather for redirect targets
+        rrows = [i for i, r in enumerate(red) if r is not None]
+        rtgt = {
+            i: self._page_idx.get(red[i], -1) for i in rrows
+        }
+        tgt_rows = [t for t in rtgt.values() if t >= 0]
+        tgt_sub = self._pages.take(pa.array(tgt_rows)) if tgt_rows else None
+        tgt_pos = {t: p for p, t in enumerate(tgt_rows)}
+        st = sub.column("status").to_pylist()
+        ol = sub.column("outlinks").to_pylist()
+        ir = sub.column("image_refs").to_pylist()
+        t_st = tgt_sub.column("status").to_pylist() if tgt_sub is not None else []
+        t_ol = tgt_sub.column("outlinks").to_pylist() if tgt_sub is not None else []
+        t_ir = tgt_sub.column("image_refs").to_pylist() if tgt_sub is not None else []
+        for p, i in enumerate(found):
+            if red[p] is not None:
+                t = rtgt[p]
+                if t < 0:
+                    status[i] = 404
+                    finals[i] = red[p]
+                    continue
+                q = tgt_pos[t]
+                s = int(t_st[q])
+                status[i] = s
+                finals[i] = red[p]
+                if s == 200:
+                    outlinks[i] = t_ol[q]
+                    image_refs[i] = t_ir[q]
+            else:
+                s = int(st[p])
+                status[i] = s
+                if s == 200:
+                    outlinks[i] = ol[p]
+                    image_refs[i] = ir[p]
+        return {
+            "status": status,
+            "final_url": finals,
+            "outlinks": outlinks,
+            "image_refs": image_refs,
+        }
+
+    def get_images_batch(self, canons: list[str]) -> dict[str, list]:
+        """Vectorized image fetch: one gather per batch; rows for unknown
+        URLs are dropped (dangling refs == 404)."""
+        self._ensure_images()
+        idxs = [self._img_idx.get(c, -1) for c in canons]
+        found = [i for i, x in enumerate(idxs) if x >= 0]
+        if not found:
+            return {"canon": [], "bytes": [], "caption": []}
+        sub = self._images.take(pa.array([idxs[i] for i in found], pa.int64()))
+        return {
+            "canon": [canons[i] for i in found],
+            "bytes": sub.column("bytes").to_pylist(),
+            "caption": sub.column("caption").to_pylist(),
+        }
 
     def fetch(self, canon_url: str, max_redirects: int = 5) -> dict:
         """Simulated HTTP GET with v1 redirect-following semantics

@@ -22,12 +22,27 @@ _CACHE: dict = {}
 
 
 def get_store(fixture_dir: str):
-    """WebStore handle, one per worker process."""
+    """WebStore handle loaded from disk, one per worker process (tests /
+    small fixtures; the crawl pipeline uses get_shared_store instead)."""
     key = ("store", fixture_dir)
     if key not in _CACHE:
         from distributed_web_crawling_system_ray.sources.synthweb import WebStore
 
         _CACHE[key] = WebStore(fixture_dir)
+    return _CACHE[key]
+
+
+def get_shared_store(pages_ref, robots_ref, images_ref):
+    """WebStore built from object-store-broadcast Arrow tables: the table
+    buffers live ONCE per node in shared memory (ray.put on the driver);
+    workers pay only the url->row index build, once per process."""
+    key = ("shared_store", pages_ref.hex(), robots_ref.hex(), images_ref.hex())
+    if key not in _CACHE:
+        from distributed_web_crawling_system_ray.sources.synthweb import WebStore
+
+        _CACHE[key] = WebStore.from_tables(
+            ray.get(pages_ref), ray.get(robots_ref), ray.get(images_ref)
+        )
     return _CACHE[key]
 
 

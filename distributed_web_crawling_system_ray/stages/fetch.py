@@ -22,6 +22,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from distributed_web_crawling_system_ray.functions.canon import (
     canonicalize,
@@ -37,7 +38,24 @@ from distributed_web_crawling_system_ray.oracle import RANK_BYTES
 _RT_EPOCH: list[float] = []
 
 
-def fetch_pages(batch: pa.Table, *, fixture_dir: str, real_time: bool = False) -> pa.Table:
+def _resolve_store(fixture_dir, store_refs):
+    from distributed_web_crawling_system_ray.stages.cache import (
+        get_shared_store,
+        get_store,
+    )
+
+    if store_refs is not None:
+        return get_shared_store(*store_refs)
+    return get_store(fixture_dir)
+
+
+def fetch_pages(
+    batch: pa.Table,
+    *,
+    fixture_dir: str | None = None,
+    store_refs=None,
+    real_time: bool = False,
+) -> pa.Table:
     """Fetch stage: scheduled frontier rows -> fetch results.
 
     Task-based with a per-worker store handle (stages/cache.py) — the
@@ -50,38 +68,29 @@ def fetch_pages(batch: pa.Table, *, fixture_dir: str, real_time: bool = False) -
     politeness and fetch workers shouldn't sleep (the reference's own
     optimizer flags its worker sleeps, performance_optimizer.py:529-537).
     """
-    from distributed_web_crawling_system_ray.stages.cache import get_store
-
-    store = get_store(fixture_dir)
+    store = _resolve_store(fixture_dir, store_refs)
     canons = batch.column("canon").to_pylist()
-    statuses = np.empty(len(canons), dtype=np.int16)
-    finals: list[str] = []
-    outlinks: list[list[str]] = []
-    image_refs: list[list[str]] = []
-    errors: list[str | None] = []
     if real_time:
         if not _RT_EPOCH:
             _RT_EPOCH.append(time.monotonic())
-        fetch_at = batch.column("fetch_at_ms").to_numpy(zero_copy_only=False)
-    for i, c in enumerate(canons):
-        if real_time:
-            wait = fetch_at[i] / 1000.0 - (time.monotonic() - _RT_EPOCH[0])
-            if wait > 0:
-                time.sleep(wait)
-        res = store.fetch(c)
-        ok = res["status"] == 200
-        statuses[i] = res["status"]
-        finals.append(res["final_url"])
-        outlinks.append(res["outlinks"] if ok else [])
-        image_refs.append(res["image_refs"] if ok else [])
-        errors.append(None if ok else f"status {res['status']}")
+        # replay the virtual schedule: sleep until the batch's last slot
+        last_at = float(pc.max(batch.column("fetch_at_ms")).as_py() or 0)
+        wait = last_at / 1000.0 - (time.monotonic() - _RT_EPOCH[0])
+        if wait > 0:
+            time.sleep(wait)
+    res = store.fetch_batch(canons)
+    statuses = np.asarray(res["status"], dtype=np.int16)
+    ok = statuses == 200
+    errors = [None if o else f"status {s}" for o, s in zip(ok, res["status"])]
     keep = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
     out = batch.select([k for k in keep if k in batch.column_names])
     return (
         out.append_column("status", pa.array(statuses, pa.int16()))
-        .append_column("final_url", pa.array(finals, pa.string()))
-        .append_column("outlinks", pa.array(outlinks, pa.list_(pa.string())))
-        .append_column("image_refs", pa.array(image_refs, pa.list_(pa.string())))
+        .append_column("final_url", pa.array(res["final_url"], pa.string()))
+        .append_column("outlinks", pa.array(res["outlinks"], pa.list_(pa.string())))
+        .append_column(
+            "image_refs", pa.array(res["image_refs"], pa.list_(pa.string()))
+        )
         .append_column("error", pa.array(errors, pa.string()))
     )
 
@@ -188,7 +197,9 @@ def extract_image_candidates(batch: pa.Table) -> pa.Table:
     )
 
 
-def decode_images(batch: pa.Table, *, fixture_dir: str) -> pa.Table:
+def decode_images(
+    batch: pa.Table, *, fixture_dir: str | None = None, store_refs=None
+) -> pa.Table:
     """Decode stage: image candidate rows -> PAYLOAD rows.
 
     Fetches bytes from the store (memory-mapped parquet, shared page cache
@@ -199,9 +210,7 @@ def decode_images(batch: pa.Table, *, fixture_dir: str) -> pa.Table:
     undecodable payloads are dropped, as the reference drops failed fetches
     (master/master_node.py:176-178).
     """
-    from distributed_web_crawling_system_ray.stages.cache import get_store
-
-    store = get_store(fixture_dir)
+    store = _resolve_store(fixture_dir, store_refs)
     ids: list[str] = []
     blobs: list[bytes] = []
     ws: list[int] = []
@@ -209,20 +218,18 @@ def decode_images(batch: pa.Table, *, fixture_dir: str) -> pa.Table:
     fmts: list[str] = []
     caps: list[str] = []
     phs: list[int] = []
-    for c in batch.column("canon").to_pylist():
-        img = store.get_image(c)
-        if img is None:
-            continue
+    got = store.get_images_batch(batch.column("canon").to_pylist())
+    for c, blob, caption in zip(got["canon"], got["bytes"], got["caption"]):
         try:
-            pixels, fmt = decode_image(img["bytes"])
+            pixels, fmt = decode_image(blob)
         except Exception:
             continue  # undecodable payload == failed fetch
         ids.append(md5_hex(c))
-        blobs.append(img["bytes"])
+        blobs.append(blob)
         hs.append(pixels.shape[0])
         ws.append(pixels.shape[1])
         fmts.append(fmt)
-        caps.append(img["caption"])
+        caps.append(caption)
         phs.append(phash64(pixels))
     return pa.table(
         {

@@ -40,6 +40,61 @@ DISALLOWED = 1
 DEFERRED = 2
 
 
+def schedule_hosts_batch(
+    batch: pa.Table,
+    *,
+    robots_ref,
+    clocks_ref,
+    per_host_round_budget: int,
+) -> pa.Table:
+    """Multi-host variant for inputs ALREADY partitioned by host (every row
+    of a host in exactly one batch — e.g. a frontier stored host-partitioned,
+    or driver-side chunks cut along host boundaries).  Avoids the groupby
+    sort entirely: the partitioning key is established once upstream and
+    reused, which is the scale-out plan for frontier storage.  Semantics are
+    identical to ``schedule_host_group`` applied per host."""
+    if batch.num_rows == 0:
+        return batch.append_column(
+            "verdict", pa.array([], pa.int8())
+        ).append_column("fetch_at_ms", pa.array([], pa.int64()))
+    hosts = batch.column("host").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for i, h in enumerate(hosts):
+        groups.setdefault(h, []).append(i)
+    from distributed_web_crawling_system_ray.stages.cache import (
+        get_object,
+        get_policies,
+    )
+
+    policies = get_policies(robots_ref)
+    clocks: dict[str, int] = get_object(clocks_ref)
+    depths = batch.column("depth").to_pylist()
+    ranks = batch.column("rank_path").to_pylist()
+    canons = batch.column("canon").to_pylist()
+    n = batch.num_rows
+    verdict = np.full(n, ALLOWED, dtype=np.int8)
+    fetch_at = np.zeros(n, dtype=np.int64)
+    for h, idx in groups.items():
+        pol = policies.policy(h)
+        delay = pol.crawl_delay_ms
+        order = sorted(idx, key=lambda i: (depths[i], ranks[i]))
+        clock = int(clocks.get(h, 0))
+        scheduled = 0
+        for i in order:
+            if not pol.allows(canons[i]):
+                verdict[i] = DISALLOWED
+                continue
+            if scheduled >= per_host_round_budget:
+                verdict[i] = DEFERRED
+                continue
+            fetch_at[i] = clock
+            clock += delay
+            scheduled += 1
+    return batch.append_column(
+        "verdict", pa.array(verdict, pa.int8())
+    ).append_column("fetch_at_ms", pa.array(fetch_at, pa.int64()))
+
+
 def schedule_host_group(
     group: pa.Table,
     *,

@@ -54,8 +54,13 @@ class UrlSeenShard:
             seen[idx] = self.cuckoo.check_and_add(keys[idx])
         new_idx = np.flatnonzero(~maybe)
         if len(new_idx):
-            # bloom said "definitely new": insert into both structures
-            self.cuckoo.check_and_add(keys[new_idx])
+            # bloom said "definitely new" — but the cuckoo's verdict must
+            # still be kept: an INTRA-batch duplicate (same key twice in one
+            # call, both missing from the bloom) is "seen" on its second
+            # occurrence.  Discarding this once produced duplicate payload
+            # rows whenever two pages referencing the same image landed in
+            # one coalesced filter batch.
+            seen[new_idx] = self.cuckoo.check_and_add(keys[new_idx])
         self.bloom.add(keys[~seen])
         return seen
 

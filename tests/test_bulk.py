@@ -1,0 +1,109 @@
+"""Sustained (bulk) pipeline correctness: image set + politeness semantics.
+
+The bulk pass fetches EVERY page URL (including the unreachable component —
+no BFS), so its payload is the set of images referenced by any robots-allowed
+page that (after redirects) returns 200, with the image URL itself
+robots-allowed.  A pure-Python expectation derives that set here.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from distributed_web_crawling_system_ray.config import CrawlConfig
+from distributed_web_crawling_system_ray.functions.canon import canonicalize, md5_hex
+from distributed_web_crawling_system_ray.functions.canon import host_of as _host
+from distributed_web_crawling_system_ray.sources.synthweb import WebStore, build_fixture
+from distributed_web_crawling_system_ray.state.robots import RobotsPolicies
+
+
+@pytest.fixture(scope="module")
+def bulk_t1(ray_session, tmp_path_factory):
+    from distributed_web_crawling_system_ray.pipelines.bulk import bulk_fetch_decode
+
+    fixture = build_fixture("t1")
+    out = str(tmp_path_factory.mktemp("bulk_t1"))
+    stats = bulk_fetch_decode(
+        fixture, CrawlConfig(seen_shards=2), out_dir=out, repeat=1, warmup=False
+    )
+    return fixture, out, stats
+
+
+def _expected_image_ids(fixture: str) -> set[str]:
+    store = WebStore(fixture)
+    robots = RobotsPolicies.from_table(store.robots_table())
+    pages = pq.read_table(os.path.join(fixture, "web_pages.parquet"))
+    want: set[str] = set()
+    for url in pages.column("url").to_pylist():
+        if not robots.allows(_host(url), url):
+            continue
+        res = store.fetch(url)
+        if res["status"] != 200:
+            continue
+        for href in res["image_refs"]:
+            ic = canonicalize(href, res["final_url"])
+            if ic is None or not robots.allows(_host(ic), ic):
+                continue
+            if store.get_image(ic) is not None:
+                want.add(md5_hex(ic))
+    return want
+
+
+def test_bulk_payload_matches_expectation(bulk_t1):
+    fixture, out, stats = bulk_t1
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    got = set()
+    n_rows = 0
+    for f in files:
+        t = pq.read_table(f, columns=["image_id"])
+        got.update(t.column("image_id").to_pylist())
+        n_rows += t.num_rows
+    assert n_rows == len(got)  # repeat=1 + image-seen pool => no duplicates
+    assert got == _expected_image_ids(fixture)
+    assert stats["images_written"] == len(got)
+    assert stats["urls"] == pq.read_metadata(
+        os.path.join(fixture, "web_pages.parquet")
+    ).num_rows
+
+
+def test_bulk_politeness_is_host_spaced(bulk_t1, tmp_path_factory):
+    """Re-run the schedule phase and assert per-host spacing (the bulk
+    scheduler path: host-partitioned chunks, no groupby)."""
+    import collections
+
+    import pyarrow.parquet as pq2
+    import ray
+
+    from distributed_web_crawling_system_ray.pipelines import bulk
+
+    fixture, _, _ = bulk_t1
+    cfg = CrawlConfig(seen_shards=2)
+    pages = pq2.read_table(
+        os.path.join(fixture, "web_pages.parquet"), columns=["url", "host"]
+    )
+    store_refs = (
+        ray.put(pq2.read_table(os.path.join(fixture, "web_pages.parquet"))),
+        ray.put(pq2.read_table(os.path.join(fixture, "robots.parquet"))),
+        ray.put(pq2.read_table(os.path.join(fixture, "images.parquet"))),
+    )
+    chunks = bulk._frontier_chunks(pages, 1, 16)
+    # every host is wholly inside one chunk
+    seen_hosts: dict[str, int] = {}
+    for ci, c in enumerate(chunks):
+        for h in set(c.column("host").to_pylist()):
+            assert seen_hosts.setdefault(h, ci) == ci
+    sched = bulk._schedule_phase(chunks, store_refs, cfg)
+    robots = RobotsPolicies.from_table(
+        pq2.read_table(os.path.join(fixture, "robots.parquet"))
+    )
+    per = collections.defaultdict(list)
+    for t in sched:
+        for h, at in zip(
+            t.column("host").to_pylist(), t.column("fetch_at_ms").to_pylist()
+        ):
+            per[h].append(at)
+    for h, ts in per.items():
+        ts = sorted(ts)
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= robots.delay_ms(h) for g in gaps), h

@@ -74,3 +74,19 @@ def test_snapshot_restore_roundtrip():
     # restored filter keeps behaving identically on new inserts
     more = RNG.integers(0, 2**63, size=100, dtype=np.uint64)
     assert (f.check_and_add(more) == f2.check_and_add(more)).all()
+
+
+def test_shard_intra_batch_duplicates(ray_session):
+    """Regression: intra-batch duplicates through the SHARD (bloom-cold path)
+    must be flagged seen on their second occurrence — the discarded-return
+    bug produced duplicate payload rows at t2 scale."""
+    import ray
+
+    from distributed_web_crawling_system_ray.state.seen import SeenPool
+
+    pool = SeenPool.create(2)
+    keys = np.array([111, 222, 111, 333, 222, 111], dtype=np.uint64)
+    seen = pool.check_and_add(keys)
+    assert list(seen) == [False, False, True, False, True, True]
+    # and fully seen on a second call
+    assert pool.check_and_add(keys).all()
