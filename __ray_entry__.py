@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": dataops.ann_topk,
         "ann_topk_lsh": dataops.ann_topk_lsh,
         "emb_label_counts": dataops.emb_label_counts,
+        # --- multimodal: image table ops ---
+        "image_phash_near_dup": dataops.image_phash_near_dup,
+        "image_stats_by_fmt": dataops.image_stats_by_fmt,
+        "image_features": dataops.image_features_table,
+        "image_thumbnails": dataops.image_thumbnails,
         # --- stream-shaped ops over events (windows/sessionization) ---
         "events_tumbling_counts": dataops.events_tumbling_counts,
         "events_hourly_active_users": dataops.events_hourly_active_users,
@@ -75,6 +80,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_seen_set": crawl_seen_sql(t2),
         "crawl_payload_meta": crawl_payload_sql(t2),
+        "image_phash_near_dup": (
+            f"WITH i AS (SELECT image_id, phash FROM read_parquet('{t2}/images.parquet')) "
+            "SELECT a.image_id AS a, b.image_id AS b FROM i a JOIN i b "
+            "ON a.image_id < b.image_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
+        ),
+        "image_stats_by_fmt": (
+            f"SELECT fmt, count(*)::BIGINT AS n, "
+            f"sum(w::BIGINT * h)::BIGINT AS sum_pixels, "
+            f"sum(octet_length(bytes))::BIGINT AS sum_bytes "
+            f"FROM read_parquet('{t2}/images.parquet') GROUP BY fmt"
+        ),
         # crawl_fetch_order / crawl_schedule / crawl_metrics: rows-only (BFS
         # rank assignment and virtual-time politeness are not SQL-expressible)
         "doc_exact_dedup": (

@@ -768,3 +768,139 @@ def events_type_value_stats(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
     return _to_table(out)
+
+
+# ------------------------------------------------- multimodal: image table
+# Operators over the image+caption table (the fixture's images.parquet at
+# the sf-mapped scale).  phash near-dup is the reference's declared future
+# work (system_architecture_v3.md:319) made first-class.
+
+PHASH_HAMMING_MAX = 6
+_PHASH_BANDS = 8  # 8 x 8-bit bands: exhaustive for Hamming <= 7 (pigeonhole)
+
+
+def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
+    from distributed_web_crawling_system_ray.api import scale_for
+    from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
+
+    fixture = build_fixture(scale_for(sf_dir))
+    return ray.data.read_parquet(
+        os.path.join(fixture, "images.parquet"), columns=list(columns)
+    )
+
+
+def image_phash_near_dup(sf_dir: str) -> pa.Table:
+    """Image near-dup pairs: 64-bit phash banding (8 x 8-bit keys) ->
+    bucket groupby -> exact popcount verify (Hamming <= 6).  Same shape as
+    the SimHash text path; the SQL oracle brute-forces xor/bit_count."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ph = np.asarray(batch.column("phash").to_pylist(), dtype=np.int64).view(
+            np.uint64
+        )
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, s in enumerate(ph):
+            for b in range(_PHASH_BANDS):
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_key.append(int((s >> np.uint64(8 * b)) & np.uint64(0xFF)))
+                out_sig.append(int(s))
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int16()),
+                "key": pa.array(out_key, pa.int32()),
+                "image_id": pa.array(out_id, pa.string()),
+                "sig": pa.array(np.asarray(out_sig, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("image_id").to_pylist()
+        sg = group.column("sig").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        a, b = [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                if bin(int(sg[i]) ^ int(sg[j])).count("1") <= PHASH_HAMMING_MAX:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+
+    cand = (
+        _images_ds(sf_dir, ("image_id", "phash"))
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    out = _to_table(cand)
+    if out is None:
+        return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    df = out.to_pandas().drop_duplicates().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def image_stats_by_fmt(sf_dir: str) -> pa.Table:
+    """Grouped count/size by format — SURVEY G4 (storage-prefix stats,
+    monitor.py:165-204) over the image table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "fmt": batch.column("fmt").to_pylist(),
+                "pixels": (
+                    batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+                    * batch.column("h").to_numpy(zero_copy_only=False)
+                ),
+                "nbytes": [
+                    len(x) for x in batch.column("bytes").to_pylist()
+                ],
+            }
+        )
+        g = df.groupby("fmt", as_index=False).agg(
+            n=("pixels", "size"),
+            sum_pixels=("pixels", "sum"),
+            sum_bytes=("nbytes", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _images_ds(sf_dir, ("fmt", "w", "h", "bytes"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_pixels", alias_name="sum_pixels"),
+            Sum("sum_bytes", alias_name="sum_bytes"),
+        )
+    )
+    return _to_table(out)
+
+
+def image_features_table(sf_dir: str) -> pa.Table:
+    """Decode-side features over the image table (REAL multimodal stage);
+    rows-only checked by the driver — dims/phash equality vs the stored
+    columns is pytest-asserted (the per-row payload invariant)."""
+    from distributed_web_crawling_system_ray.stages.multimodal import image_features
+
+    out = _images_ds(sf_dir, ("image_id", "bytes")).map_batches(
+        image_features, batch_format="pyarrow", batch_size=256
+    )
+    return _to_table(out)
+
+
+def image_thumbnails(sf_dir: str) -> pa.Table:
+    """PNG thumbnails via the resize stage (REAL multimodal stage); returns
+    (image_id, tw, th) metadata (binary thumbs stay out of the compare)."""
+    from distributed_web_crawling_system_ray.stages.multimodal import resize_images
+
+    out = _images_ds(sf_dir, ("image_id", "bytes")).map_batches(
+        resize_images, batch_format="pyarrow", batch_size=256
+    )
+    tbl = _to_table(out)
+    return tbl.select(["image_id", "tw", "th"]) if tbl is not None else None

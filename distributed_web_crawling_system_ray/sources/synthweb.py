@@ -60,7 +60,7 @@ class WebParams:
     image_ratio: float = 0.5
     include_pixel_oracle: bool = True
     max_dim: int = 512
-    schema_version: int = 4  # bump to invalidate cached fixtures
+    schema_version: int = 5  # bump to invalidate cached fixtures
 
 
 SCALES: dict[str, WebParams] = {
@@ -315,15 +315,33 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
     )
 
     # --- images ---
+    # ~4% are near-duplicates: pixels of an earlier image plus low-amplitude
+    # deterministic noise — exercises phash / embedding near-dup operators
+    # (the reference lists near-dup as future work, system_architecture_v3.md:319)
     ids, blobs, ws, hs, fmts, caps, phs, pix = [], [], [], [], [], [], [], []
+    dup_of: list[int | None] = [None] * n_img
+    for j in range(n_img):
+        if j > 0 and rng.random() < 0.04:
+            dup_of[j] = int(rng.integers(min(j, 64)))  # sources = first 64
+    kept_pixels: dict[int, np.ndarray] = {}
     for j in range(n_img):
         iu = img_urls[j]
         iid = md5_hex(iu)
         u1, u2 = rng.random(), rng.random()
         lim = params.max_dim
-        w = int(16 * 2 ** (u1 * np.log2(lim / 16)))
-        h = int(16 * 2 ** (u2 * np.log2(lim / 16)))
-        px = synth_pixels(iid, w, h)
+        if dup_of[j] is not None and dup_of[j] in kept_pixels:
+            src = kept_pixels[dup_of[j]]
+            nrng = np.random.default_rng(int(iid[:16], 16))
+            px = np.clip(
+                src.astype(np.int16) + nrng.integers(-2, 3, size=src.shape), 0, 255
+            ).astype(np.uint8)
+            h, w = px.shape[:2]
+        else:
+            w = int(16 * 2 ** (u1 * np.log2(lim / 16)))
+            h = int(16 * 2 ** (u2 * np.log2(lim / 16)))
+            px = synth_pixels(iid, w, h)
+        if len(kept_pixels) < 64:  # bounded memory for dup sources
+            kept_pixels[j] = px
         blob = encode_png(px) if img_fmt[j] == "png" else encode_lossy(px)
         dec, _ = decode_image(blob)
         ids.append(iid)

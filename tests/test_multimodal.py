@@ -1,0 +1,105 @@
+"""Multimodal stage tests: real image stages verified against fixture truth;
+stub stages assert their contract (schema constants + clean NotImplemented)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
+
+SF = "/root/testdata/sf0.001"  # maps to the t1 fixture
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_image_features_match_stored_truth():
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        image_features_table,
+    )
+
+    fixture = build_fixture("t1")
+    truth = pq.read_table(
+        fixture + "/images.parquet", columns=["image_id", "w", "h", "fmt", "phash"]
+    ).to_pandas().set_index("image_id")
+    got = image_features_table(SF).to_pandas().set_index("image_id")
+    assert set(got.index) == set(truth.index)
+    for col in ("w", "h", "fmt", "phash"):
+        assert (got[col] == truth[col].loc[got.index]).all(), col
+    assert got[["mean_r", "mean_g", "mean_b"]].min().min() >= 0
+    assert got[["mean_r", "mean_g", "mean_b"]].max().max() <= 255
+
+
+def test_thumbnails_bounded_and_decodable():
+    from distributed_web_crawling_system_ray.functions.codec import decode_image
+    from distributed_web_crawling_system_ray.stages.multimodal import resize_images
+
+    fixture = build_fixture("t1")
+    imgs = pq.read_table(fixture + "/images.parquet", columns=["image_id", "bytes"])
+    out = resize_images(imgs, max_side=32)
+    assert out.num_rows == imgs.num_rows
+    for blob, tw, th in zip(
+        out.column("thumb").to_pylist(),
+        out.column("tw").to_pylist(),
+        out.column("th").to_pylist(),
+    ):
+        px, fmt = decode_image(blob)
+        assert fmt == "png"
+        assert px.shape == (th, tw, 3)
+        assert max(tw, th) <= 32
+
+
+def test_resize_preserves_content_roughly():
+    from distributed_web_crawling_system_ray.stages.multimodal import (
+        _mean_pool_resize,
+    )
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[:, 100:, :] = 255  # left black, right white
+    t = _mean_pool_resize(img, 20)
+    assert t.shape == (10, 20, 3)
+    assert t[:, :9].mean() < 10 and t[:, 11:].mean() > 245
+    # no-op when already small
+    small = np.full((8, 8, 3), 7, np.uint8)
+    assert _mean_pool_resize(small, 32) is small
+
+
+def test_phash_near_dup_finds_planted_duplicates():
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        image_phash_near_dup,
+    )
+
+    pairs = image_phash_near_dup(SF)
+    # the generator plants ~4% perturbed copies; t1 is tiny so just require
+    # determinism + validity
+    again = image_phash_near_dup(SF)
+    assert pairs.equals(again)
+    a = pairs.column("a").to_pylist()
+    b = pairs.column("b").to_pylist()
+    assert all(x < y for x, y in zip(a, b))
+
+
+def test_stub_stages_raise_cleanly():
+    from distributed_web_crawling_system_ray.stages.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        VIDEO_FRAME_SCHEMA,
+        decode_audio,
+        sample_video_frames,
+    )
+
+    batch = pa.table(
+        {"audio_id": pa.array(["a1"]), "bytes": pa.array([b"\x00"], pa.binary())}
+    )
+    with pytest.raises(NotImplementedError, match="audio"):
+        decode_audio(batch)
+    vbatch = pa.table(
+        {"video_id": pa.array(["v1"]), "bytes": pa.array([b"\x00"], pa.binary())}
+    )
+    with pytest.raises(NotImplementedError, match="video"):
+        sample_video_frames(vbatch)
+    # contracts are declared
+    assert AUDIO_FEATURE_SCHEMA.names[0] == "audio_id"
+    assert VIDEO_FRAME_SCHEMA.names == ["video_id", "frame_idx", "frame"]
