@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": dataops.ann_topk,
         "ann_topk_lsh": dataops.ann_topk_lsh,
         "emb_label_counts": dataops.emb_label_counts,
+        # --- relational joins (broadcast + partitioned hash) ---
+        "orders_by_region": dataops.orders_by_region,
+        "revenue_by_brand": dataops.revenue_by_brand,
         # --- multimodal: image table ops ---
         "image_phash_near_dup": dataops.image_phash_near_dup,
         "image_stats_by_fmt": dataops.image_stats_by_fmt,
@@ -80,6 +83,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_seen_set": crawl_seen_sql(t2),
         "crawl_payload_meta": crawl_payload_sql(t2),
+        "orders_by_region": (
+            "SELECT r.r_name, count(*)::BIGINT AS n_orders, "
+            "sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        "revenue_by_brand": (
+            "SELECT p.p_brand, count(*)::BIGINT AS n_items, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT "
+            "AS revenue_cents FROM lineitem l JOIN part p "
+            "ON l.l_partkey = p.p_partkey GROUP BY p.p_brand"
+        ),
         "image_phash_near_dup": (
             f"WITH i AS (SELECT image_id, phash FROM read_parquet('{t2}/images.parquet')) "
             "SELECT a.image_id AS a, b.image_id AS b FROM i a JOIN i b "

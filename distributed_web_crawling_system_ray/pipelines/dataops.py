@@ -904,3 +904,150 @@ def image_thumbnails(sf_dir: str) -> pa.Table:
     )
     tbl = _to_table(out)
     return tbl.select(["image_id", "tw", "th"]) if tbl is not None else None
+
+
+# ------------------------------------------------------ relational joins
+# The reference has no relational joins (SURVEY §2.4 — its 'joins' are
+# lookups); these demonstrate the two Dataset-level join patterns the
+# training-data pipelines reuse: broadcast-small-side and explicit
+# partitioned hash join.  Money is floored to integer cents on BOTH sides
+# (floor over identically-ordered float64 products is engine-stable;
+# round() is not — DuckDB rounds half away from zero, numpy half to even).
+
+
+def _tpch(sf_dir: str, name: str, columns) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=list(columns)
+    )
+
+
+def orders_by_region(sf_dir: str) -> pa.Table:
+    """Broadcast join: orders -> customer -> nation -> region, grouped by
+    region name.  The dimension chain (customer x nation x region, ~1.5k
+    rows) is ray.put once; the fact table streams through map_batches."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = _pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist())
+    )
+    r2n = dict(
+        zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist())
+    )
+    cust_region = {
+        c: r2n[n2r[n]]
+        for c, n in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    bcast = ray.put(cust_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        lookup = get_object(bcast)
+        keys = batch.column("o_custkey").to_pylist()
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {"r_name": [lookup[k] for k in keys], "cents": cents}
+        )
+        g = df.groupby("r_name", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _tpch(sf_dir, "orders", ("o_custkey", "o_totalprice"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+    return _to_table(out)
+
+
+JOIN_BUCKETS = 32
+
+
+def revenue_by_brand(sf_dir: str) -> pa.Table:
+    """Explicit partitioned hash join: lineitem x part on partkey, bucketed
+    by ``partkey % B`` on both sides, pairwise pandas merge inside each
+    bucket group, then a grouped revenue aggregate.  The portable
+    both-sides-large join pattern (guide: Joins and lookups)."""
+
+    # both sides are projected onto one unified schema (union requires it):
+    # (bucket, side, l_partkey, l_extendedprice, l_discount, p_partkey, p_brand)
+    def to_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((key % JOIN_BUCKETS).astype(np.int32), pa.int32()),
+                "side": pa.array(["l"] * n, pa.string()),
+                "l_partkey": batch.column("l_partkey"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "l_discount": batch.column("l_discount"),
+                "p_partkey": pa.nulls(n, pa.int64()),
+                "p_brand": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def to_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((key % JOIN_BUCKETS).astype(np.int32), pa.int32()),
+                "side": pa.array(["p"] * n, pa.string()),
+                "l_partkey": pa.nulls(n, pa.int64()),
+                "l_extendedprice": pa.nulls(n, pa.float64()),
+                "l_discount": pa.nulls(n, pa.float64()),
+                "p_partkey": batch.column("p_partkey"),
+                "p_brand": batch.column("p_brand"),
+            }
+        )
+
+    li = _tpch(sf_dir, "lineitem", ("l_partkey", "l_extendedprice", "l_discount")).map_batches(
+        to_left, batch_format="pyarrow"
+    )
+    pt = _tpch(sf_dir, "part", ("p_partkey", "p_brand")).map_batches(
+        to_right, batch_format="pyarrow"
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == "l"][
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        ]
+        right = group[group["side"] == "p"][["p_partkey", "p_brand"]]
+        if left.empty or right.empty:
+            return pd.DataFrame({"p_brand": [], "n_items": [], "revenue_cents": []})
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        cents = np.floor(
+            m["l_extendedprice"].to_numpy() * (1 - m["l_discount"].to_numpy()) * 100
+        ).astype(np.int64)
+        m = m.assign(cents=cents)
+        g = m.groupby("p_brand", as_index=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.union(pt)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return _to_table(out)

@@ -86,3 +86,36 @@ def test_pixel_invariants(resumed_crawl):
         else:
             p = psnr(want, got)
             assert p >= 40.0, (row["image_id"], p)
+
+
+def test_resume_after_corrupted_last_round(ray_session, tmp_path_factory):
+    """Harsher crash model: the last round's _SUCCESS marker is missing
+    (simulating a kill mid-commit).  Resume must fall back to the previous
+    committed round and still converge to the oracle state with no
+    duplicate payload rows."""
+    import os
+    import shutil
+
+    from distributed_web_crawling_system_ray.pipelines.checkpoint import round_dir
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_corrupt"))
+    partial = run_crawl(
+        fixture, CrawlConfig(seen_shards=2, max_rounds=3), work_dir=work
+    )
+    assert partial.rounds == 3
+    # corrupt the last committed round: drop its _SUCCESS and its payload
+    last = 2
+    os.remove(os.path.join(round_dir(work, last), "_SUCCESS"))
+    shutil.rmtree(os.path.join(work, "payload", f"round={last}"), ignore_errors=True)
+
+    result = run_crawl(
+        fixture, CrawlConfig(seen_shards=2), work_dir=work, resume=True
+    )
+    oracle = crawl_oracle(WebStore(fixture))
+    hist = result.frontier_history()
+    assert set(hist.column("canon").to_pylist()) == set(oracle.seen.keys())
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
