@@ -27,11 +27,31 @@ def scale_for(sf_dir: str) -> str:
 
 
 def crawl_cached(scale: str, cfg: CrawlConfig | None = None) -> CrawlResult:
-    """Run (or resume — a no-op when complete) the crawl for ``scale``."""
+    """Run (or resume — a no-op when complete) the crawl for ``scale``.
+
+    The cached work dir is stamped with the fixture's params stamp; a cache
+    built against an older fixture version is wiped, not resumed (resuming
+    across fixture versions would mix frontier/filter state with a different
+    web)."""
     if scale in _RESULTS:
         return _RESULTS[scale]
     fixture = build_fixture(scale)
     work = os.path.join(_CRAWL_CACHE_ROOT, scale)
+    with open(os.path.join(fixture, "_SUCCESS")) as f:
+        fixture_stamp = f.read()
+    stamp_path = os.path.join(work, "_FIXTURE_STAMP")
+    if os.path.isdir(work):
+        stale = True
+        if os.path.exists(stamp_path):
+            with open(stamp_path) as f:
+                stale = f.read() != fixture_stamp
+        if stale:
+            import shutil
+
+            shutil.rmtree(work)
+    os.makedirs(work, exist_ok=True)
+    with open(stamp_path, "w") as f:
+        f.write(fixture_stamp)
     res = run_crawl(fixture, cfg or CrawlConfig(), work_dir=work, resume=True)
     _RESULTS[scale] = res
     return res

@@ -175,6 +175,64 @@ def seed_frontier(fixture_dir: str, seen: SeenPool) -> pa.Table:
     return tbl.filter(pa.array(new_mask, pa.bool_()))
 
 
+def ingest_injected_urls(work_dir: str, seen, rnd: int) -> pa.Table | None:
+    """Consume ``work_dir/inject/*.txt`` into frontier rows.
+
+    Mirrors the reference's ``/add_urls`` dedup-then-enqueue
+    (master/master_node.py:212-220): each URL canonicalizes, passes the
+    seen-shard ``check_and_add`` (idempotent — re-posting a known URL is a
+    no-op), and enters the CURRENT round at depth=rnd with a rank that sorts
+    after organically-discovered rows (0xFF-prefixed).  Files are consumed
+    (renamed ``.done``) so ingestion never duplicates across resumes; a crash
+    between consumption and the round's commit drops that batch (re-post to
+    re-ingest) — still strictly better than the reference's at-most-once
+    delivery (SQS delete-before-process, SURVEY §4.3).
+    """
+    inject_dir = os.path.join(work_dir, "inject")
+    if not os.path.isdir(inject_dir):
+        return None
+    files = sorted(
+        f for f in os.listdir(inject_dir) if f.endswith(".txt")
+    )
+    if not files:
+        return None
+    urls: list[str] = []
+    for fn in files:
+        p = os.path.join(inject_dir, fn)
+        with open(p) as f:
+            urls.extend(line.strip() for line in f if line.strip())
+        os.replace(p, p + ".done")
+    rows_url, canons, hashes, hosts, ranks = [], [], [], [], []
+    local: set[int] = set()
+    for k, url in enumerate(urls):
+        c = canonicalize(url)
+        if c is None:
+            continue
+        h = url_hash(c)
+        if h in local:
+            continue
+        local.add(h)
+        rows_url.append(url)
+        canons.append(c)
+        hashes.append(h)
+        hosts.append(host_of(c))
+        ranks.append(b"\xff" + int(k).to_bytes(RANK_BYTES, "big"))
+    if not rows_url:
+        return None
+    new_mask = ~seen.check_and_add(np.asarray(hashes, dtype=np.uint64))
+    tbl = pa.table(
+        {
+            "url": pa.array(rows_url, pa.string()),
+            "canon": pa.array(canons, pa.string()),
+            "url_hash": pa.array(np.asarray(hashes, np.uint64), pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array([rnd] * len(rows_url), pa.int32()),
+            "rank_path": pa.array(ranks, pa.binary()),
+        }
+    )
+    return tbl.filter(pa.array(new_mask, pa.bool_()))
+
+
 def run_crawl(
     fixture_dir: str,
     cfg: CrawlConfig | None = None,
@@ -262,7 +320,20 @@ def run_crawl(
             t[0] = now
 
     rnd = start_round
-    while frontier.num_rows > 0 and rnd < cfg.max_rounds:
+    while True:
+        # --- URL ingest between rounds (reference /add_urls endpoint,
+        # master/master_node.py:212-220,260-265 / SURVEY S3): consume
+        # work_dir/inject/*.txt (one URL per line), canonicalize, first-seen
+        # dedup through the same shard pool, enqueue at the current round.
+        injected = ingest_injected_urls(work_dir, seen, rnd)
+        if injected is not None and injected.num_rows:
+            frontier = (
+                pa.concat_tables([frontier, injected])
+                if frontier.num_rows
+                else injected
+            )
+        if frontier.num_rows == 0 or rnd >= cfg.max_rounds:
+            break
         t0 = time.time()
         marks: list = []
         tmark = [t0]

@@ -110,3 +110,50 @@ def test_metrics_accumulate(crawl_t1):
     assert total_fetched == len(result.schedule_history().filter(
         pc.equal(result.schedule_history().column("verdict"), ALLOWED)
     ))
+
+
+def test_url_injection_between_rounds(ray_session, tmp_path_factory):
+    """SURVEY S3 (/add_urls): URLs posted into work_dir/inject/ join the
+    frontier at the next round boundary, deduped through the seen pool; an
+    unreachable-component URL becomes crawlable this way."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.functions.canon import md5_hex
+    from distributed_web_crawling_system_ray.oracle import crawl_oracle
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+    from distributed_web_crawling_system_ray.sources.synthweb import (
+        WebStore,
+        build_fixture,
+    )
+
+    fixture = build_fixture("t1")
+    store = WebStore(fixture)
+    oracle = crawl_oracle(store)
+    pages = pq.read_table(os.path.join(fixture, "web_pages.parquet"))
+    # pick a 200-status page the organic crawl never reaches
+    orphan = None
+    for url, status in zip(
+        pages.column("url").to_pylist(), pages.column("status").to_pylist()
+    ):
+        if status == 200 and url not in oracle.seen:
+            orphan = url
+            break
+    assert orphan is not None
+    work = str(tmp_path_factory.mktemp("crawl_inject"))
+    os.makedirs(os.path.join(work, "inject"))
+    with open(os.path.join(work, "inject", "batch1.txt"), "w") as f:
+        f.write(orphan + "\n" + orphan + "\n")  # duplicate post collapses
+    result = run_crawl(fixture, CrawlConfig(seen_shards=2), work_dir=work)
+    hist = result.frontier_history()
+    got = set(hist.column("canon").to_pylist())
+    assert orphan in got
+    assert got >= set(oracle.seen.keys())
+    # injected URL appears once, and its fetch produced payload if it has refs
+    assert hist.filter(
+        pc.equal(hist.column("canon"), orphan)
+    ).num_rows == 1
+    res = store.fetch(orphan)
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
