@@ -107,3 +107,38 @@ def test_bulk_politeness_is_host_spaced(bulk_t1, tmp_path_factory):
         ts = sorted(ts)
         gaps = [b - a for a, b in zip(ts, ts[1:])]
         assert all(g >= robots.delay_ms(h) for g in gaps), h
+
+
+def test_real_time_politeness_throttles_wall_clock(ray_session, tmp_path_factory):
+    """Opt-in wall-clock replay: with real_time_politeness=True the fetch
+    stage sleeps to its virtual schedule, so a host with N allowed fetches
+    takes >= (N-1) * crawl_delay wall time.  (Default mode never sleeps.)"""
+    import time
+
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_rt"))
+    t0 = time.time()
+    res = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, max_rounds=1, real_time_politeness=True),
+        work_dir=work,
+    )
+    wall = time.time() - t0
+    m = res.metrics[0]
+    # round 0 = seeds; at least one host fetches >= 2 pages with >= 1s delay
+    sched = res.schedule_history()
+    import collections
+
+    per = collections.Counter(
+        h
+        for h, v in zip(
+            sched.column("host").to_pylist(), sched.column("verdict").to_pylist()
+        )
+        if v == 0
+    )
+    max_per_host = max(per.values())
+    if max_per_host >= 2:
+        assert wall >= 1.0 * (max_per_host - 1), (wall, max_per_host)
+    assert m["urls_fetched"] >= 1
