@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": dataops.doc_fingerprint,
         "doc_quality_counts": dataops.doc_quality_counts,
         "doc_near_dup_pairs": dataops.doc_near_dup_pairs,
+        "doc_dedup_clusters": dataops.doc_dedup_clusters,
         "doc_simhash_pairs": dataops.doc_simhash_pairs,
         "doc_langid": dataops.doc_langid,
         "docs_by_lang": dataops.docs_by_lang,
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_counts": dataops.events_tumbling_counts,
         "events_hourly_active_users": dataops.events_hourly_active_users,
         "events_user_sessions": dataops.events_user_sessions,
+        "events_sliding_active_users": dataops.events_sliding_active_users,
         "events_type_value_stats": dataops.events_type_value_stats,
     }
 
@@ -139,6 +141,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
             "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
+        ),
+        "doc_dedup_clusters": (
+            "WITH RECURSIVE "
+            "tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+            ")) AS s FROM tok WHERE len(w) >= 3), "
+            "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach(src, dst) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id "
+            "FROM reach GROUP BY src"
+        ),
+        "events_sliding_active_users": (
+            "WITH e AS (SELECT floor(epoch(ts) / 900)::BIGINT AS slot, user_id "
+            "FROM events), "
+            "w AS (SELECT unnest(generate_series(slot - 3, slot)) AS window_slot, "
+            "user_id FROM e) "
+            "SELECT window_slot, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM w GROUP BY window_slot"
         ),
         "docs_by_lang": (
             "SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars "

@@ -65,7 +65,9 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
         return None
     if base is not None:
         u = urljoin(base, u)
-    u = u.split("#", 1)[0]
+    # strip again after fragment removal: "path #frag" would otherwise keep
+    # a trailing space and break idempotence (found by hypothesis)
+    u = u.split("#", 1)[0].strip()
     if not u:
         return None
     try:

@@ -209,7 +209,9 @@ def bulk_fetch_decode(
     chunks = _frontier_chunks(pages, repeat, n_chunks=256)
     t0 = time.time()
     payload = _build_pipeline(chunks, store_refs, cfg, image_seen)
-    payload.write_parquet(out_dir, compression="none")
+    from distributed_web_crawling_system_ray.sources.storage import write_payload
+
+    write_payload(payload, out_dir)
     wall = time.time() - t0
 
     n_urls = pages.num_rows * repeat

@@ -92,30 +92,9 @@ class CrawlResult:
     metrics: list[dict] = field(default_factory=list)
 
     def payload_dataset(self) -> "ray.data.Dataset":
-        parts = []
-        for d in sorted(os.listdir(self.out_dir)):
-            if d.startswith("round="):
-                rd = os.path.join(self.out_dir, d)
-                parts.extend(
-                    os.path.join(rd, f)
-                    for f in sorted(os.listdir(rd))
-                    if f.endswith(".parquet")
-                )
-        if not parts:
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "image_id": pa.array([], pa.string()),
-                        "bytes": pa.array([], pa.binary()),
-                        "w": pa.array([], pa.int32()),
-                        "h": pa.array([], pa.int32()),
-                        "fmt": pa.array([], pa.string()),
-                        "caption": pa.array([], pa.string()),
-                        "phash": pa.array([], pa.int64()),
-                    }
-                )
-            )
-        return ray.data.read_parquet(parts)
+        from distributed_web_crawling_system_ray.sources.storage import read_payload
+
+        return read_payload(self.out_dir)
 
     def frontier_history(self) -> pa.Table:
         """Union of all rounds' frontiers == the final URL-seen set with
@@ -441,8 +420,11 @@ def run_crawl(
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         )
-        # bytes are already image-compressed; parquet recompression is wasted CPU
-        payload_ds.write_parquet(payload_dir, compression="none")
+        from distributed_web_crawling_system_ray.sources.storage import (
+            write_payload,
+        )
+
+        write_payload(payload_ds, payload_dir)
         _tick("payload", marks, tmark)
         n_images = sum(
             pq.read_metadata(os.path.join(payload_dir, f)).num_rows

@@ -1051,3 +1051,72 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
     )
     return _to_table(out)
+
+
+def doc_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup connected components: LSH-verified pairs -> min-label
+    propagation until fixpoint -> (doc_id, cluster_id=min id in component).
+
+    The iterative groupby pattern for components (guide: MinHash-LSH note):
+    each round joins labels across edges and takes the min per node; rounds
+    = component diameter (tiny for near-dup clusters).  Docs in no pair form
+    singleton clusters.  SQL oracle: recursive CTE transitive closure.
+    """
+    pairs = doc_near_dup_pairs(sf_dir)
+    edges: dict[int, set[int]] = {}
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    docs = _to_table(_docs(sf_dir, columns=("doc_id",)))
+    ids = docs.column("doc_id").to_pylist()
+    label = {d: d for d in ids}
+    # min-label propagation; the edge set is LSH-verified pairs (small by
+    # construction), so driver-side iteration is the right altitude — at web
+    # scale each round becomes groupby(node).min over an edge-label Dataset
+    changed = True
+    while changed:
+        changed = False
+        for u, vs in edges.items():
+            m = min(min(label[v] for v in vs), label[u])
+            if m < label[u]:
+                label[u] = m
+                changed = True
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([label[d] for d in ids], pa.int64()),
+        }
+    )
+
+
+SLIDE_STEP_S = 900  # 15-min slide over 1-hour windows
+
+
+def events_sliding_active_users(sf_dir: str) -> pa.Table:
+    """Sliding 1-hour windows every 15 min: each event contributes to the 4
+    windows covering it (flat-map expansion), then distinct users per
+    window — the standard replicate-into-windows expansion for sliding
+    aggregates over a batch log."""
+    k = WINDOW_S // SLIDE_STEP_S  # windows covering one event
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = np.asarray(batch.column("user_id").to_pylist(), dtype=np.int64)
+        slot = ts // (SLIDE_STEP_S * 1_000_000)  # 15-min slot index
+        # window w (indexed by its start slot) covers slots [w, w+k)
+        starts = np.concatenate([slot - i for i in range(k)])
+        u = np.tile(users, k)
+        df = pd.DataFrame({"window_slot": starts, "user_id": u}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(part: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            part.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, ("ts", "user_id")).map_batches(expand, batch_format="pyarrow")
+    ds = hash_partition_apply(ds, "user_id", dedup, P=32)
+    out = ds.groupby("window_slot").aggregate(Count(alias_name="n_users"))
+    return _to_table(out)

@@ -42,6 +42,8 @@ CASES = [
     ("//other.com/x", "https://e.com/a", "https://other.com/x"),
     ("?q=2", "http://e.com/a?q=1", "http://e.com/a?q=2"),
     ("#frag", "http://e.com/a", "http://e.com/a"),
+    # trailing space ahead of a fragment must not survive (idempotence)
+    ("http://e.com/a #frag", None, "http://e.com/a"),
 ]
 
 
