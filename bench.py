@@ -63,11 +63,16 @@ def run_bench(num_cpus: int) -> dict:
     if sustained_only:
         crawl_s, res = 0.0, None
     else:
-        work = f"/tmp/graft_bench_work_{num_cpus}"
-        shutil.rmtree(work, ignore_errors=True)
-        t0 = time.time()
-        res = run_crawl(fixture, cfg, work_dir=work)
-        crawl_s = time.time() - t0
+        # min over trials for the crawl too (host steal waves, see BASELINE.md)
+        crawl_s, res = None, None
+        for _ in range(int(os.environ.get("GRAFT_CRAWL_TRIALS", "2"))):
+            work = f"/tmp/graft_bench_work_{num_cpus}"
+            shutil.rmtree(work, ignore_errors=True)
+            t0 = time.time()
+            r = run_crawl(fixture, cfg, work_dir=work)
+            dt = time.time() - t0
+            if crawl_s is None or dt < crawl_s:
+                crawl_s, res = dt, r
 
     # sustained fetch+decode: one streaming pass over the full URL set — the
     # BASELINE.json headline throughput (compute-bound, no round barriers)
