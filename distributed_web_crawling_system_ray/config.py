@@ -51,6 +51,11 @@ class CrawlConfig:
     per_host_round_budget: int = 1 << 31
     # partition count for the per-round url_hash dedup shuffle
     dedup_partitions: int = 64
+    # scale-adaptive scheduling exchange: rounds up to this many rows are
+    # host-partitioned driver-side (sort + cut at host boundaries — no
+    # groupby sort, measured 1-6 s/round cheaper); larger rounds use the
+    # Dataset-native groupby(host) shuffle (the cluster-scale path).
+    driver_partition_limit: int = 2_000_000
 
     # cuckoo filter sizing (per shard)
     cuckoo_capacity: int = 1 << 16

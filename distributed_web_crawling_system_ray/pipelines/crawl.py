@@ -65,7 +65,31 @@ from distributed_web_crawling_system_ray.state.scheduler import (
     DEFERRED,
     DISALLOWED,
     schedule_host_group,
+    schedule_hosts_batch,
 )
+
+
+def _host_partition_chunks(
+    frontier: pa.Table, target_rows: int = 2048
+) -> list[pa.Table]:
+    """Sort a driver-held frontier by host and cut chunk boundaries at host
+    changes, so every host lands wholly in one block (the precondition of
+    ``schedule_hosts_batch``)."""
+    t = frontier.sort_by("host")
+    hosts = t.column("host").to_pylist()
+    n = t.num_rows
+    bounds = [0]
+    i = target_rows
+    while i < n:
+        j = i
+        while j < n and hosts[j] == hosts[j - 1]:
+            j += 1
+        if j > bounds[-1]:
+            bounds.append(j)
+        i = j + target_rows
+    if bounds[-1] != n:
+        bounds.append(n)
+    return [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
 from distributed_web_crawling_system_ray.state.seen import SeenPool
 
 
@@ -320,22 +344,38 @@ def run_crawl(
         os.makedirs(rd, exist_ok=True)
         pq.write_table(frontier, os.path.join(rd, "frontier.parquet"))
 
-        n_blocks = max(1, min(256, frontier.num_rows // 512 + 1))
-        fr_ds = ray.data.read_parquet(
-            os.path.join(rd, "frontier.parquet"), override_num_blocks=n_blocks
-        )
-
-        # --- schedule: explicit groupby(host) shuffle -> per-host politeness
+        # --- schedule: the explicit host exchange -> per-host politeness.
+        # Scale-adaptive realization of the groupby(host) shuffle: rounds
+        # under driver_partition_limit are sorted by host driver-side and
+        # cut at host boundaries (no Dataset sort; each host wholly in one
+        # block -> plain map stage); larger rounds go through the
+        # Dataset-native groupby(host).map_groups path.  Semantics are
+        # identical (tests pin both paths to the oracle).
         clocks_ref = ray.put(clocks)
-        schedule_ds = fr_ds.groupby("host").map_groups(
-            schedule_host_group,
-            fn_kwargs={
-                "robots_ref": robots_ref,
-                "clocks_ref": clocks_ref,
-                "per_host_round_budget": cfg.per_host_round_budget,
-            },
-            batch_format="pyarrow",
-        )
+        sched_kwargs = {
+            "robots_ref": robots_ref,
+            "clocks_ref": clocks_ref,
+            "per_host_round_budget": cfg.per_host_round_budget,
+        }
+        if frontier.num_rows <= cfg.driver_partition_limit:
+            chunks = _host_partition_chunks(frontier)
+            schedule_ds = ray.data.from_arrow(chunks).map_batches(
+                schedule_hosts_batch,
+                fn_kwargs=sched_kwargs,
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        else:  # cluster-scale frontier: Dataset-native shuffle
+            n_blocks = max(1, min(256, frontier.num_rows // 512 + 1))
+            fr_ds = ray.data.read_parquet(
+                os.path.join(rd, "frontier.parquet"),
+                override_num_blocks=n_blocks,
+            )
+            schedule_ds = fr_ds.groupby("host").map_groups(
+                schedule_host_group,
+                fn_kwargs=sched_kwargs,
+                batch_format="pyarrow",
+            )
         schedule = schedule_ds.materialize()
         _tick("schedule", marks, tmark)
         sched_parts = [t for t in ray.get(schedule.to_arrow_refs()) if t.num_rows]

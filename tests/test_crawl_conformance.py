@@ -157,3 +157,34 @@ def test_url_injection_between_rounds(ray_session, tmp_path_factory):
     res = store.fetch(orphan)
     payload = result.payload_dataset().to_pandas()
     assert payload["image_id"].is_unique
+
+
+def test_groupby_exchange_path_matches_oracle(ray_session, tmp_path_factory):
+    """The Dataset-native groupby(host) exchange (cluster-scale path,
+    forced via driver_partition_limit=0) produces the same seen set, order,
+    and payload as the driver-partitioned default."""
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_groupby_path"))
+    result = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, driver_partition_limit=0),
+        work_dir=work,
+    )
+    oracle = crawl_oracle(WebStore(fixture))
+    hist = result.frontier_history()
+    assert set(hist.column("canon").to_pylist()) == set(oracle.seen.keys())
+    sched = result.schedule_history()
+    allowed = sched.filter(pc.equal(sched.column("verdict"), ALLOWED))
+    rows = sorted(
+        zip(
+            allowed.column("depth").to_pylist(),
+            allowed.column("rank_path").to_pylist(),
+            allowed.column("canon").to_pylist(),
+        )
+    )
+    assert [c for _, _, c in rows] == [o["canon_url"] for o in oracle.order]
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
