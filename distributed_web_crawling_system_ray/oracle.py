@@ -25,7 +25,7 @@ assert both representations agree.
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from distributed_web_crawling_system_ray.functions.canon import canonicalize, url_hash
 from distributed_web_crawling_system_ray.functions.canon import host_of as _host

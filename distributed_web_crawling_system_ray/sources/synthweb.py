@@ -37,11 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from distributed_web_crawling_system_ray.functions.canon import (
-    canonicalize,
-    md5_hex,
-    url_hash,
-)
+from distributed_web_crawling_system_ray.functions.canon import canonicalize, md5_hex
 from distributed_web_crawling_system_ray.functions.codec import (
     decode_image,
     encode_lossy,
