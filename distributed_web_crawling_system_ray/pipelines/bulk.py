@@ -34,6 +34,7 @@ import ray.data
 
 from distributed_web_crawling_system_ray.config import CrawlConfig
 from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+from distributed_web_crawling_system_ray.pipelines.partition import host_chunk_bounds
 from distributed_web_crawling_system_ray.stages.fetch import (
     decode_images,
     extract_image_candidates,
@@ -43,32 +44,20 @@ from distributed_web_crawling_system_ray.state.scheduler import (
     ALLOWED,
     schedule_hosts_batch,
 )
-from distributed_web_crawling_system_ray.state.seen import SeenPool
 
 
 def _frontier_chunks(pages: pa.Table, repeat: int, n_chunks: int) -> list[pa.Table]:
     """R stacked copies of the URL set, HOST-PARTITIONED driver-side: the
     table is sorted by host once and chunk boundaries are cut along host
-    changes, so every host lands wholly in one block.  The scheduler can
-    then run as a plain map_batches — the politeness partitioning key is
-    established at the source and reused, replacing a 10-second groupby sort
-    (measured at bench scale) with zero shuffle."""
+    changes (shared vectorized helper, ``pipelines/partition.py``), so every
+    host lands wholly in one block.  The scheduler can then run as a plain
+    map_batches — the politeness partitioning key is established at the
+    source and reused, replacing a 10-second groupby sort (measured at bench
+    scale) with zero shuffle."""
     pages = pages.sort_by("host")
-    hosts = pages.column("host").to_pylist()
     n = pages.num_rows
     target = max(1, n // max(1, n_chunks // max(1, repeat)))
-    # boundaries at host changes nearest each target multiple
-    bounds = [0]
-    i = target
-    while i < n:
-        j = i
-        while j < n and hosts[j] == hosts[j - 1]:
-            j += 1
-        if j > bounds[-1]:
-            bounds.append(j)
-        i = j + target
-    if bounds[-1] != n:
-        bounds.append(n)
+    bounds = host_chunk_bounds(pages.column("host"), target)
     chunks: list[pa.Table] = []
     for r in range(repeat):
         base = pa.table(
@@ -118,7 +107,7 @@ def _schedule_phase(chunks, store_refs, cfg) -> list[pa.Table]:
 
 
 def _fetch_decode_phase(
-    chunks, store_refs, cfg, image_seen
+    chunks, store_refs, cfg, dedup: bool
 ) -> "ray.data.Dataset":
     """Phase 2: the heavy streaming pipeline over evenly-sized chunks."""
     if not chunks:
@@ -150,16 +139,28 @@ def _fetch_decode_phase(
         return batch.filter(pa.array(ok, pa.bool_()))
 
     img_cands = img_cands.map_batches(_robots_gate, batch_format="pyarrow")
-    if image_seen is not None:
+    if dedup:
+        # Dataset-native set-dedup (bounded hash partition + per-group first)
+        # — retry-safe (no actor mutation inside retryable tasks) and fully
+        # deterministic; only the repeat=1 correctness path pays the shuffle.
+        from distributed_web_crawling_system_ray.stages.fetch import (
+            dedup_first_by_hash,
+        )
 
-        def _img_filter(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            keys = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            new = ~image_seen.check_and_add(keys)
-            return batch.filter(pa.array(new, pa.bool_()))
+        P = cfg.dedup_partitions
 
-        img_cands = img_cands.map_batches(_img_filter, batch_format="pyarrow")
+        def _cpart(batch: pa.Table) -> pa.Table:
+            part = (
+                batch.column("url_hash").to_numpy(zero_copy_only=False)
+                % np.uint64(P)
+            ).astype(np.int32)
+            return batch.append_column("part", pa.array(part, pa.int32()))
+
+        img_cands = (
+            img_cands.map_batches(_cpart, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(dedup_first_by_hash, batch_format="pyarrow")
+        )
     return img_cands.map_batches(
         decode_images,
         fn_kwargs={"store_refs": store_refs},
@@ -168,9 +169,9 @@ def _fetch_decode_phase(
     )
 
 
-def _build_pipeline(chunks, store_refs, cfg, image_seen) -> "ray.data.Dataset":
+def _build_pipeline(chunks, store_refs, cfg, dedup: bool) -> "ray.data.Dataset":
     sched_chunks = _schedule_phase(chunks, store_refs, cfg)
-    return _fetch_decode_phase(sched_chunks, store_refs, cfg, image_seen)
+    return _fetch_decode_phase(sched_chunks, store_refs, cfg, dedup)
 
 
 def bulk_fetch_decode(
@@ -196,19 +197,15 @@ def bulk_fetch_decode(
         ray.put(pq.read_table(os.path.join(fixture_dir, "robots.parquet"))),
         ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
     )
-    image_seen = (
-        SeenPool.create(max(2, cfg.seen_shards // 2), cfg.cuckoo_capacity)
-        if repeat == 1
-        else None
-    )
+    dedup = repeat == 1
     if warmup:  # spin up the worker pool + per-worker store handles
         wchunks = _frontier_chunks(pages.slice(0, min(2048, pages.num_rows)), 1, 32)
-        _build_pipeline(wchunks, store_refs, cfg, None).count()
+        _build_pipeline(wchunks, store_refs, cfg, dedup=False).count()
 
     # ---- timed window: one streaming pipeline over R copies ----
     chunks = _frontier_chunks(pages, repeat, n_chunks=256)
     t0 = time.time()
-    payload = _build_pipeline(chunks, store_refs, cfg, image_seen)
+    payload = _build_pipeline(chunks, store_refs, cfg, dedup)
     from distributed_web_crawling_system_ray.sources.storage import write_payload
 
     write_payload(payload, out_dir)

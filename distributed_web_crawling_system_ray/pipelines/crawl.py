@@ -55,10 +55,14 @@ from distributed_web_crawling_system_ray.pipelines.checkpoint import (
 )
 from distributed_web_crawling_system_ray.stages.fetch import (
     decode_images,
+    dedup_first_by_hash,
     dedup_min_rank,
     extract_image_candidates,
     extract_links,
     fetch_pages,
+)
+from distributed_web_crawling_system_ray.pipelines.partition import (
+    host_partition_chunks,
 )
 from distributed_web_crawling_system_ray.state.scheduler import (
     ALLOWED,
@@ -67,29 +71,6 @@ from distributed_web_crawling_system_ray.state.scheduler import (
     schedule_host_group,
     schedule_hosts_batch,
 )
-
-
-def _host_partition_chunks(
-    frontier: pa.Table, target_rows: int = 2048
-) -> list[pa.Table]:
-    """Sort a driver-held frontier by host and cut chunk boundaries at host
-    changes, so every host lands wholly in one block (the precondition of
-    ``schedule_hosts_batch``)."""
-    t = frontier.sort_by("host")
-    hosts = t.column("host").to_pylist()
-    n = t.num_rows
-    bounds = [0]
-    i = target_rows
-    while i < n:
-        j = i
-        while j < n and hosts[j] == hosts[j - 1]:
-            j += 1
-        if j > bounds[-1]:
-            bounds.append(j)
-        i = j + target_rows
-    if bounds[-1] != n:
-        bounds.append(n)
-    return [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
 from distributed_web_crawling_system_ray.state.seen import SeenPool
 
 
@@ -256,8 +237,12 @@ def run_crawl(
         work_dir = tempfile.mkdtemp(prefix="raycrawl_")
     ckpt_root = os.path.join(work_dir, "checkpoint")
     out_dir = os.path.join(work_dir, "payload")
-    if not resume:
-        # a fresh (non-resume) run must not append into stale partitions
+    last = latest_round(ckpt_root) if resume else None
+    if last is None:
+        # Fresh start — including resume=True with NO committed round (a
+        # crash during round 0 before the first commit_round): partial
+        # parquet left in payload/ must not survive, or the re-run's
+        # uniquely-named files land beside them and duplicate payload rows.
         import shutil
 
         for d in (ckpt_root, out_dir):
@@ -288,33 +273,33 @@ def run_crawl(
     metrics: list[dict] = []
     start_round = 0
 
-    if resume:
-        last = latest_round(ckpt_root)
-        if last is not None:
-            rd = round_dir(work_dir, last)
-            seen.restore(os.path.join(rd, "seen"))
-            image_seen.restore(os.path.join(rd, "image_seen"))
-            with open(os.path.join(rd, "clocks.json")) as f:
-                clocks = {k: int(v) for k, v in json.load(f).items()}
-            for k in range(last + 1):
-                mp = os.path.join(round_dir(work_dir, k), "metrics.json")
-                if os.path.exists(mp):
-                    with open(mp) as f:
-                        metrics.append(json.load(f))
-            frontier = pq.read_table(os.path.join(rd, "new_frontier.parquet"))
-            start_round = last + 1
-            # wipe any partially-written later payload partitions
-            for d in os.listdir(out_dir):
-                if d.startswith("round=") and int(d.split("=")[1]) >= start_round:
-                    import shutil
+    if last is not None:
+        rd = round_dir(work_dir, last)
+        seen.restore(os.path.join(rd, "seen"))
+        image_seen.restore(os.path.join(rd, "image_seen"))
+        with open(os.path.join(rd, "clocks.json")) as f:
+            clocks = {k: int(v) for k, v in json.load(f).items()}
+        for k in range(last + 1):
+            mp = os.path.join(round_dir(work_dir, k), "metrics.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    metrics.append(json.load(f))
+        frontier = pq.read_table(os.path.join(rd, "new_frontier.parquet"))
+        start_round = last + 1
+        # wipe any partially-written later payload partitions
+        for d in os.listdir(out_dir):
+            if d.startswith("round=") and int(d.split("=")[1]) >= start_round:
+                import shutil
 
-                    shutil.rmtree(os.path.join(out_dir, d))
-        else:
-            frontier = seed_frontier(fixture_dir, seen)
+                shutil.rmtree(os.path.join(out_dir, d))
     else:
         frontier = seed_frontier(fixture_dir, seen)
 
     timing = os.environ.get("GRAFT_TIMING") == "1"
+    # wall-clock base for real-time politeness replay: anchored ONCE here on
+    # the driver and shared by all fetch workers (per-worker monotonic epochs
+    # drifted by pipeline spin-up and broke same-host spacing)
+    rt_epoch = time.time() if cfg.real_time_politeness else None
 
     def _tick(label: str, marks: list, t: list) -> None:
         if timing:
@@ -358,7 +343,7 @@ def run_crawl(
             "per_host_round_budget": cfg.per_host_round_budget,
         }
         if frontier.num_rows <= cfg.driver_partition_limit:
-            chunks = _host_partition_chunks(frontier)
+            chunks = host_partition_chunks(frontier)
             schedule_ds = ray.data.from_arrow(chunks).map_batches(
                 schedule_hosts_batch,
                 fn_kwargs=sched_kwargs,
@@ -413,6 +398,7 @@ def run_crawl(
             fn_kwargs={
                 "store_refs": store_refs,
                 "real_time": cfg.real_time_politeness,
+                "rt_epoch": rt_epoch,
             },
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
@@ -425,19 +411,23 @@ def run_crawl(
         ).count()
         _tick("counts", marks, tmark)
 
-        # --- payload branch: image refs -> image-seen anti-join -> robots
-        # gate -> decode actor pool -> partitioned parquet sink (streaming)
+        # --- payload branch: image refs -> PURE image-seen/robots filter ->
+        # exactly-once admission -> decode actor pool -> parquet sink.
+        # Every map_batches body here is side-effect-free: Ray Data may
+        # re-execute a task after block loss (lineage reconstruction), and a
+        # retry that consulted its first attempt's check_and_add inserts
+        # would filter its own rows out and silently drop images.  The
+        # seen-set *mutation* therefore happens exactly once, driver-side.
         img_cands = results.map_batches(
             extract_image_candidates, batch_format="pyarrow"
         )
 
-        def _img_filter(batch: pa.Table) -> pa.Table:
+        def _img_prefilter(batch: pa.Table) -> pa.Table:
+            """Pure contains() anti-join vs prior rounds + robots gate."""
             if batch.num_rows == 0:
                 return batch
             keys = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            new = ~image_seen.check_and_add(keys)
-            # robots gate AFTER seen-add (oracle semantics: a disallowed image
-            # is 'seen' but never fetched)
+            new = ~image_seen.contains(keys)
             hosts = batch.column("host").to_pylist()
             canons = batch.column("canon").to_pylist()
             ok = np.fromiter(
@@ -452,25 +442,98 @@ def run_crawl(
 
         payload_dir = os.path.join(out_dir, f"round={rnd}")
         os.makedirs(payload_dir, exist_ok=True)
-        payload_ds = img_cands.map_batches(
-            _img_filter, batch_format="pyarrow"
-        ).map_batches(
-            decode_images,
-            fn_kwargs={"store_refs": store_refs},
-            batch_format="pyarrow",
-            batch_size=cfg.decode_batch_size,
-        )
         from distributed_web_crawling_system_ray.sources.storage import (
             write_payload,
         )
 
-        write_payload(payload_ds, payload_dir)
-        _tick("payload", marks, tmark)
-        n_images = sum(
-            pq.read_metadata(os.path.join(payload_dir, f)).num_rows
-            for f in os.listdir(payload_dir)
-            if f.endswith(".parquet")
+        filtered_cands = img_cands.map_batches(
+            _img_prefilter, batch_format="pyarrow"
         )
+        if frontier.num_rows <= cfg.driver_partition_limit:
+            # driver-sized round: materialize the metadata-sized candidate
+            # rows, dedup + admit once on the driver, then stream the decode
+            cparts = [
+                t for t in ray.get(filtered_cands.to_arrow_refs()) if t.num_rows
+            ]
+            if cparts:
+                cand_tbl = dedup_first_by_hash(
+                    pa.concat_tables(cparts).combine_chunks()
+                )
+                newm = ~image_seen.check_and_add(
+                    cand_tbl.column("url_hash").to_numpy(zero_copy_only=False)
+                )
+                cand_tbl = cand_tbl.filter(pa.array(newm, pa.bool_()))
+            else:
+                cand_tbl = pa.table(
+                    {
+                        "canon": pa.array([], pa.string()),
+                        "url_hash": pa.array([], pa.uint64()),
+                        "host": pa.array([], pa.string()),
+                    }
+                )
+            step = cfg.decode_batch_size
+            cand_chunks = [
+                cand_tbl.slice(o, min(step, cand_tbl.num_rows - o))
+                for o in range(0, cand_tbl.num_rows, step)
+            ] or [cand_tbl]
+            payload_ds = ray.data.from_arrow(cand_chunks).map_batches(
+                decode_images,
+                fn_kwargs={"store_refs": store_refs},
+                batch_format="pyarrow",
+                batch_size=cfg.decode_batch_size,
+            )
+            write_payload(payload_ds, payload_dir)
+            n_images = sum(
+                pq.read_metadata(os.path.join(payload_dir, f)).num_rows
+                for f in os.listdir(payload_dir)
+                if f.endswith(".parquet")
+            )
+        else:
+            # cluster-scale round: Dataset-native intra-round set-dedup
+            # (bounded hash partition), stream decode+write, then admit the
+            # actually-written ids once from the sink's image_id column
+            # (url_hash = high 64 bits of md5 = image_id[:16]).
+            P = cfg.dedup_partitions
+
+            def _cpart(batch: pa.Table) -> pa.Table:
+                part = (
+                    batch.column("url_hash").to_numpy(zero_copy_only=False)
+                    % np.uint64(P)
+                ).astype(np.int32)
+                return batch.append_column("part", pa.array(part, pa.int32()))
+
+            payload_ds = (
+                filtered_cands.map_batches(_cpart, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(dedup_first_by_hash, batch_format="pyarrow")
+                .map_batches(
+                    decode_images,
+                    fn_kwargs={"store_refs": store_refs},
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
+                )
+            )
+            write_payload(payload_ds, payload_dir)
+            written = [
+                os.path.join(payload_dir, f)
+                for f in os.listdir(payload_dir)
+                if f.endswith(".parquet")
+            ]
+            n_images = 0
+            wkeys: list[np.ndarray] = []
+            for f in written:
+                ids = pq.read_table(f, columns=["image_id"]).column("image_id")
+                n_images += len(ids)
+                wkeys.append(
+                    np.fromiter(
+                        (int(s[:16], 16) for s in ids.to_pylist()),
+                        dtype=np.uint64,
+                        count=len(ids),
+                    )
+                )
+            if wkeys:
+                image_seen.check_and_add(np.concatenate(wkeys))
+        _tick("payload", marks, tmark)
 
         # --- frontier branch: outlinks -> canonicalize (+batch combiner) ->
         # explicit hash-partition dedup -> seen-shard anti-join
@@ -489,20 +552,32 @@ def run_crawl(
             .map_groups(dedup_min_rank, batch_format="pyarrow")
         )
 
-        def _seen_filter(batch: pa.Table) -> pa.Table:
+        def _seen_prefilter(batch: pa.Table) -> pa.Table:
+            """PURE contains() anti-join (safe under Ray task retry — see the
+            payload branch note); admission happens once below, driver-side."""
             if batch.num_rows == 0:
                 return batch
             keys = batch.column("url_hash").to_numpy()
-            new = ~seen.check_and_add(keys)
+            new = ~seen.contains(keys)
             return batch.filter(pa.array(new, pa.bool_()))
 
-        new_frontier_ds = deduped.map_batches(_seen_filter, batch_format="pyarrow")
+        new_frontier_ds = deduped.map_batches(
+            _seen_prefilter, batch_format="pyarrow"
+        )
         nf_refs = ray.get(new_frontier_ds.to_arrow_refs())
         _tick("links", marks, tmark)
         nf_refs = [t for t in nf_refs if t.num_rows]
         base_cols = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
         if nf_refs:
-            new_frontier = pa.concat_tables([t.select(base_cols) for t in nf_refs])
+            cand_frontier = pa.concat_tables(
+                [t.select(base_cols) for t in nf_refs]
+            ).combine_chunks()
+            # exactly-once first-seen admission (the dedup shuffle above
+            # guarantees one row per url_hash, so no intra-call collisions)
+            newm = ~seen.check_and_add(
+                cand_frontier.column("url_hash").to_numpy(zero_copy_only=False)
+            )
+            new_frontier = cand_frontier.filter(pa.array(newm, pa.bool_()))
         else:
             new_frontier = frontier.slice(0, 0)
         n_links_new = new_frontier.num_rows

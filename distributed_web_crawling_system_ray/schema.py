@@ -61,15 +61,19 @@ PAYLOAD = pa.schema(
     ]
 )
 
-# Deterministic politeness schedule emitted by the scheduler shards.
+# Deterministic politeness schedule emitted by the scheduler stage — the
+# frontier row plus the robots/politeness verdict (state/scheduler.py:
+# ALLOWED=0 / DISALLOWED=1 / DEFERRED=2) and the virtual-time fetch slot.
 SCHEDULE = pa.schema(
     [
+        pa.field("url", pa.string()),
         pa.field("canon", pa.string()),
+        pa.field("url_hash", pa.uint64()),
         pa.field("host", pa.string()),
         pa.field("depth", pa.int32()),
         pa.field("rank_path", pa.binary()),
-        pa.field("allowed", pa.bool_()),     # robots gate verdict
-        pa.field("fetch_at_ms", pa.int64()), # virtual-time politeness slot
+        pa.field("verdict", pa.int8()),
+        pa.field("fetch_at_ms", pa.int64()),  # virtual-time politeness slot
     ]
 )
 

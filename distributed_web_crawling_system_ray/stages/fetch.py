@@ -35,9 +35,6 @@ from distributed_web_crawling_system_ray.functions.phash import phash64
 from distributed_web_crawling_system_ray.oracle import RANK_BYTES
 
 
-_RT_EPOCH: list[float] = []
-
-
 def _resolve_store(fixture_dir, store_refs):
     from distributed_web_crawling_system_ray.stages.cache import (
         get_shared_store,
@@ -55,6 +52,7 @@ def fetch_pages(
     fixture_dir: str | None = None,
     store_refs=None,
     real_time: bool = False,
+    rt_epoch: float | None = None,
 ) -> pa.Table:
     """Fetch stage: scheduled frontier rows -> fetch results.
 
@@ -63,22 +61,40 @@ def fetch_pages(
     (crawler/crawler_node.py:79-83) without per-round actor-pool startup.
 
     ``real_time`` replays the virtual politeness schedule against the wall
-    clock (sleeps until each row's fetch_at_ms, measured from the first batch
-    this worker sees); off by default — the virtual schedule already proves
-    politeness and fetch workers shouldn't sleep (the reference's own
-    optimizer flags its worker sleeps, performance_optimizer.py:529-537).
+    clock: ``rt_epoch`` is a wall-clock (``time.time``) base anchored ONCE
+    driver-side at run start and shared by every worker, and each row sleeps
+    to its own ``fetch_at_ms`` slot (rows replayed in slot order).  No row
+    fetches before ``rt_epoch + slot``; inter-fetch spacing is exact while
+    the pipeline keeps up and approximate under backlog (a delayed fetch is
+    not re-propagated to other workers' slots).  Off by default — the
+    virtual schedule already proves politeness and fetch workers shouldn't
+    sleep (the reference's own optimizer flags its worker sleeps,
+    performance_optimizer.py:529-537).
     """
     store = _resolve_store(fixture_dir, store_refs)
-    canons = batch.column("canon").to_pylist()
     if real_time:
-        if not _RT_EPOCH:
-            _RT_EPOCH.append(time.monotonic())
-        # replay the virtual schedule: sleep until the batch's last slot
-        last_at = float(pc.max(batch.column("fetch_at_ms")).as_py() or 0)
-        wait = last_at / 1000.0 - (time.monotonic() - _RT_EPOCH[0])
-        if wait > 0:
-            time.sleep(wait)
-    res = store.fetch_batch(canons)
+        if rt_epoch is None:  # standalone use: anchor at first call per worker
+            rt_epoch = time.time()
+        order = pc.sort_indices(batch.column("fetch_at_ms"))
+        batch = batch.take(order)
+        slots = batch.column("fetch_at_ms").to_pylist()
+        canons = batch.column("canon").to_pylist()
+        res: dict[str, list] = {
+            "status": [],
+            "final_url": [],
+            "outlinks": [],
+            "image_refs": [],
+        }
+        for s, c in zip(slots, canons):
+            wait = rt_epoch + float(s) / 1000.0 - time.time()
+            if wait > 0:
+                time.sleep(wait)
+            one = store.fetch_batch([c])
+            for k in res:
+                res[k].append(one[k][0])
+    else:
+        canons = batch.column("canon").to_pylist()
+        res = store.fetch_batch(canons)
     statuses = np.asarray(res["status"], dtype=np.int16)
     ok = statuses == 200
     errors = [None if o else f"status {s}" for o, s in zip(ok, res["status"])]
@@ -160,6 +176,15 @@ def dedup_min_rank(group: pa.Table) -> pa.Table:
             best[h] = i
     idx = sorted(best.values())
     return group.take(pa.array(idx, pa.int64()))
+
+
+def dedup_first_by_hash(group: pa.Table) -> pa.Table:
+    """Partition-wise set-dedup: one row per url_hash, first occurrence.
+    For image candidates (rows with equal url_hash are identical), order
+    within the partition cannot change the output set."""
+    keys = group.column("url_hash").to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(keys, return_index=True)
+    return group.take(pa.array(np.sort(first_idx), pa.int64()))
 
 
 def extract_image_candidates(batch: pa.Table) -> pa.Table:

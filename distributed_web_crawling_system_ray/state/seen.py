@@ -7,10 +7,12 @@ URL hashes.  Routing is ``url_hash % K`` — a broadcast-free stateful
 anti-join (SURVEY §2.4 J1): membership RPCs go only to the owning shard, so
 dedup never requires an all-to-all shuffle of the candidate set.
 
-``check_and_add`` is idempotent (re-checking an already-added hash returns
-"seen"), which is what makes fetch retries exactly-once per round
-(SURVEY §4.2): a retried task re-offering the same hashes gets the same
-answer.
+Mutation discipline: ``check_and_add`` is called ONLY from driver code (once
+per round / seed batch), never from inside retryable Ray Data tasks — a
+retried task would see its first attempt's inserts and filter its own rows
+out, silently dropping URLs (lineage reconstruction loses the original
+output).  Tasks use the pure ``contains`` anti-join; the driver admits the
+materialized survivors exactly once.
 
 Scale note: 10^10 keys / K=32 shards ≈ 3.1e8 keys/shard ≈ 1.7 GB/shard at
 ~5.3 B/key — sized explicitly, snapshotted to the round checkpoint

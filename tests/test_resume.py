@@ -88,6 +88,49 @@ def test_pixel_invariants(resumed_crawl):
             assert p >= 40.0, (row["image_id"], p)
 
 
+def test_resume_with_no_committed_round_wipes_partial_payload(
+    ray_session, tmp_path_factory
+):
+    """Crash during round 0 BEFORE the first commit_round leaves partial
+    parquet in payload/round=0 and no checkpoint.  resume=True must treat
+    that as a fresh start and wipe it — otherwise the re-run's uniquely-named
+    files land beside the stale ones and duplicate payload rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_precommit"))
+    stale_dir = os.path.join(work, "payload", "round=0")
+    os.makedirs(stale_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": ["deadbeef" * 4],
+                "bytes": [b"stale"],
+                "w": pa.array([1], pa.int32()),
+                "h": pa.array([1], pa.int32()),
+                "fmt": ["png"],
+                "caption": ["stale partial row from a crashed attempt"],
+                "phash": pa.array([0], pa.int64()),
+            }
+        ),
+        os.path.join(stale_dir, "crashed_attempt.parquet"),
+    )
+
+    result = run_crawl(
+        fixture, CrawlConfig(seen_shards=2), work_dir=work, resume=True
+    )
+    oracle = crawl_oracle(WebStore(fixture))
+    payload = result.payload_dataset().to_pandas()
+    assert "deadbeef" * 4 not in set(payload["image_id"])
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
 def test_resume_after_corrupted_last_round(ray_session, tmp_path_factory):
     """Harsher crash model: the last round's _SUCCESS marker is missing
     (simulating a kill mid-commit).  Resume must fall back to the previous
