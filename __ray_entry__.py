@@ -30,7 +30,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from distributed_web_crawling_system_ray import api
-    from distributed_web_crawling_system_ray.pipelines import dataops
+    from distributed_web_crawling_system_ray.pipelines import dataops, search
 
     return {
         # --- crawl engine (SURVEY §2 operator groups) ---
@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": dataops.doc_simhash_pairs,
         "doc_langid": dataops.doc_langid,
         "docs_by_lang": dataops.docs_by_lang,
+        # --- search layer (M9 tokenizer, M10 snippet, T1 top-k, D2, D5) ---
+        "search_topk": search.search_topk,
+        "search_and_terms": search.search_and_terms,
+        "search_term_df": search.search_term_df,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,
@@ -110,8 +114,39 @@ def oracle_sql() -> dict[str, str]:
             f"sum(octet_length(bytes))::BIGINT AS sum_bytes "
             f"FROM read_parquet('{t2}/images.parquet') GROUP BY fmt"
         ),
-        # crawl_fetch_order / crawl_schedule / crawl_metrics: rows-only (BFS
-        # rank assignment and virtual-time politeness are not SQL-expressible)
+        # crawl_fetch_order / crawl_schedule: rows-only (BFS rank assignment
+        # and virtual-time politeness are not SQL-expressible)
+        "search_topk": (
+            "WITH tok AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents), "
+            "tf AS (SELECT doc_id, text, "
+            "len(list_filter(w, x -> x = 'customer'))::BIGINT AS tf0, "
+            "len(list_filter(w, x -> x = 'join'))::BIGINT AS tf1, "
+            "len(list_filter(w, x -> x = 'window'))::BIGINT AS tf2 FROM tok), "
+            "st AS (SELECT count(*)::BIGINT AS nd, "
+            "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0, "
+            "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1, "
+            "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM tf), "
+            "s AS (SELECT doc_id, text, "
+            "(tf0 * (CASE WHEN df0 > 0 THEN (nd * 1000) // df0 ELSE 0 END) + "
+            "tf1 * (CASE WHEN df1 > 0 THEN (nd * 1000) // df1 ELSE 0 END) + "
+            "tf2 * (CASE WHEN df2 > 0 THEN (nd * 1000) // df2 ELSE 0 END))::BIGINT "
+            "AS score FROM tf, st) "
+            'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+            "doc_id, score, substring(text, 1, 200) AS snippet "
+            "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "search_and_terms": (
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents) "
+            "WHERE list_contains(w, 'customer') AND list_contains(w, 'join') "
+            "AND list_contains(w, 'window')"
+        ),
+        "search_term_df": (
+            "SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, "
+            "unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) "
+            "AS term FROM documents) GROUP BY term"
+        ),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash "
             "FROM documents GROUP BY md5(text)"

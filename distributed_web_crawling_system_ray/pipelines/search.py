@@ -1,0 +1,273 @@
+"""The search layer: tokenizer, inverted-index build, scored top-k, AND-query.
+
+Rebuilds the reference's indexer/search surface (the last SURVEY §2 group —
+M9 tokenizer, M10 snippet, T1 top-k, D2 per-doc token dedup, D5 posting-list
+intersection) Ray-Data-first over the ``documents`` table:
+
+- tokenizer: v1's ``re.findall(r'\\w+', text.lower())``
+  (``archive/indexer_node.py:19-22``), restricted to ASCII ``[a-z0-9_]+`` so
+  the DuckDB (RE2) oracle tokenizes identically.  v3 uses Whoosh's
+  ``StemmingAnalyzer`` (``indexer/indexer_node.py:63``); a minimal
+  suffix-stripper approximation is provided for parity tests (``stem=True``)
+  but oracle-checked queries use the exact v1 tokenizer.
+- index build (``search_term_df``): per-doc DISTINCT terms
+  (v1's ``set(tokens)`` dedup, ``archive/indexer_node.py:33`` — D2) ->
+  per-batch partial term counts (combiner) -> ``groupby(term).sum`` — the
+  postings/document-frequency table that IS the inverted index statistics
+  (v1 index: ``defaultdict(word -> [url])``, ``archive/indexer_node.py:15-17``).
+- scored top-k (``search_topk``): integer TF-IDF — score(d) = Σ_t tf(t,d) ·
+  ((N·1000) // df(t)) — ranked by (score DESC, doc_id), k=20, with the
+  v3 snippet fallback ``content[:200]`` (``indexer/indexer_node.py:166-171``).
+  Integer-scaled idf keeps the DuckDB value-hash comparison float-free
+  (BM25F's floats would not hash-match; the *shape* — rarity-weighted term
+  frequency over a MultifieldParser'd query — is the same,
+  ``indexer/indexer_node.py:151-183``).
+- AND-intersection (``search_and_terms``): docs containing ALL query terms —
+  v1's posting-list AND (``archive/indexer_node.py:44-48``, D5).
+
+Scale shape (the part that must survive 100 TB):
+- ONE tokenize pass; the per-doc query-term tf vector (a few int columns) is
+  the only materialized intermediate — text never leaves the read stage.
+- df/N are per-batch partial sums folded driver-side (no shuffle; Q+1 ints
+  per batch).
+- top-k is local-k-per-batch -> tiny driver merge (classic scalable top-k;
+  never a global sort).
+- snippets are fetched by a second *pruned* read filtered to the k winner
+  ids — the text column is read only for k rows.
+- ``search_term_df`` shuffles only the per-batch combined (term, partial_df)
+  rows — vocabulary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+# ---------------------------------------------------------------- tokenizer
+
+# v1 tokenizer (archive/indexer_node.py:19-22) restricted to ASCII so RE2
+# (DuckDB) and Python produce identical tokens.
+_TOKEN = re.compile(r"[a-z0-9_]+")
+
+# crude Porter-step-1-style suffix stripper: stands in for v3's Whoosh
+# StemmingAnalyzer (indexer/indexer_node.py:63) — deterministic, tested for
+# idempotence, NOT used in oracle-checked queries.
+_SUFFIXES = ("ing", "edly", "ed", "es", "s")
+
+
+def _stem(tok: str) -> str:
+    for suf in _SUFFIXES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+            return tok[: -len(suf)]
+    return tok
+
+
+def tokenize(text: str, stem: bool = False) -> list[str]:
+    toks = _TOKEN.findall(text.lower())
+    if stem:
+        toks = [_stem(t) for t in toks]
+    return toks
+
+
+# ------------------------------------------------------------ search config
+
+QUERY_TERMS = ("customer", "join", "window")  # the pinned benchmark query
+TOP_K = 20
+IDF_SCALE = 1000
+SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _tf_table(sf_dir: str, terms=QUERY_TERMS) -> "ray.data.Dataset":
+    """One tokenize pass -> per-doc query-term tf vector (doc_id + Q ints).
+    This is the only materialized intermediate; it is ~Q+1 ints per doc."""
+    term_list = list(terms)
+
+    def tf(batch: pa.Table) -> pa.Table:
+        counts = [np.zeros(batch.num_rows, dtype=np.int64) for _ in term_list]
+        idx = {t: i for i, t in enumerate(term_list)}
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            for tok in _TOKEN.findall(text.lower()):
+                i = idx.get(tok)
+                if i is not None:
+                    counts[i][r] += 1
+        cols = {"doc_id": batch.column("doc_id")}
+        for i, t in enumerate(term_list):
+            cols[f"tf_{i}"] = pa.array(counts[i], pa.int64())
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(tf, batch_format="pyarrow").materialize()
+
+
+def _df_and_n(tf_ds: "ray.data.Dataset", q: int) -> tuple[np.ndarray, int]:
+    """Document frequencies + corpus size via per-batch partial sums (a
+    combiner-only aggregate: Q+1 ints per batch, folded on the driver)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i in range(q):
+            nz = pc.sum(
+                pc.cast(
+                    pc.greater(batch.column(f"tf_{i}"), 0), pa.int64()
+                )
+            ).as_py()
+            row[f"df_{i}"] = pa.array([int(nz or 0)], pa.int64())
+        return pa.table(row)
+
+    parts = [
+        t
+        for t in ray.get(
+            tf_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    folded = pa.concat_tables(parts)
+    n = int(pc.sum(folded.column("n")).as_py() or 0)
+    df = np.array(
+        [int(pc.sum(folded.column(f"df_{i}")).as_py() or 0) for i in range(q)],
+        dtype=np.int64,
+    )
+    return df, n
+
+
+def search_topk(sf_dir: str) -> pa.Table:
+    """Integer TF-IDF top-k for the pinned query, with v3-style snippets.
+
+    Returns (rank, doc_id, score, snippet) — rank 1..k by
+    (score DESC, doc_id ASC), snippet = first 200 chars of the doc text.
+    """
+    q = len(QUERY_TERMS)
+    tf_ds = _tf_table(sf_dir)
+    df, n = _df_and_n(tf_ds, q)
+    idf = np.where(df > 0, (n * IDF_SCALE) // np.maximum(df, 1), 0).astype(np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(q):
+            score += batch.column(f"tf_{i}").to_numpy() * idf[i]
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(order.slice(0, TOP_K))
+
+    parts = [
+        t
+        for t in ray.get(
+            tf_ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts) if parts else None
+    if merged is None or merged.num_rows == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            }
+        )
+    order = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    top = merged.take(order.slice(0, TOP_K))
+
+    # snippet fetch: pruned read of the text column for the k winners only
+    ids = top.column("doc_id").to_pylist()
+    snip_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids),
+    )
+    snip_parts = [t for t in ray.get(snip_ds.to_arrow_refs()) if t.num_rows]
+    snips: dict[int, str] = {}
+    for t in snip_parts:
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            snips[d] = txt[:SNIPPET_CHARS]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+            "doc_id": top.column("doc_id"),
+            "score": top.column("score"),
+            "snippet": pa.array([snips.get(d, "") for d in ids], pa.string()),
+        }
+    )
+
+
+def search_and_terms(sf_dir: str) -> pa.Table:
+    """v1 AND-search: doc_ids containing ALL pinned query terms (D5)."""
+    q = len(QUERY_TERMS)
+    tf_ds = _tf_table(sf_dir)
+
+    def all_terms(batch: pa.Table) -> pa.Table:
+        mask = np.ones(batch.num_rows, dtype=bool)
+        for i in range(q):
+            mask &= batch.column(f"tf_{i}").to_numpy() > 0
+        return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(mask))})
+
+    parts = [
+        t
+        for t in ray.get(
+            tf_ds.map_batches(all_terms, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"doc_id": pa.array([], pa.int64())})
+    )
+
+
+def search_term_df(sf_dir: str) -> pa.Table:
+    """Inverted-index statistics: per-term document frequency.
+
+    The index-build pipeline (v1 ``add_to_index``: tokenize -> per-doc SET of
+    tokens -> postings): per-batch combiner emits (term, partial_df) rows, a
+    vocabulary-sized ``groupby(term).sum`` folds them — the corpus-sized doc
+    stream never enters the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in set(_TOKEN.findall(text.lower())):  # D2 per-doc dedup
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "pdf": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    )

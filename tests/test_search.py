@@ -1,0 +1,101 @@
+"""Search-layer tests: tokenizer properties, index stats, top-k and
+AND-intersection vs a pure-Python brute-force expectation."""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _texts():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_tokenizer_matches_v1_regex_and_stem_idempotent():
+    from distributed_web_crawling_system_ray.pipelines.search import _stem, tokenize
+
+    s = "The QUICK brown_fox, jumps-over 42 lazy dogs!  rapid: merge;"
+    assert tokenize(s) == re.findall(r"[a-z0-9_]+", s.lower())
+    for tok in tokenize(s, stem=True):
+        assert _stem(tok) == tok  # stemming is idempotent
+    assert _stem("jumps") == "jump"
+    assert _stem("merging") == "merg"
+    assert _stem("es") == "es"  # too short to strip
+
+
+def test_term_df_matches_bruteforce():
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        search_term_df,
+        tokenize,
+    )
+
+    texts = _texts()
+    want: dict[str, int] = {}
+    for t in texts.values():
+        for tok in set(tokenize(t)):
+            want[tok] = want.get(tok, 0) + 1
+    got_tbl = search_term_df(SF)
+    got = dict(
+        zip(got_tbl.column("term").to_pylist(), got_tbl.column("df").to_pylist())
+    )
+    assert got == want
+    assert len(got) > 5
+
+
+def _brute_scores():
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        IDF_SCALE,
+        QUERY_TERMS,
+        tokenize,
+    )
+
+    texts = _texts()
+    n = len(texts)
+    tf = {
+        d: {q: tokenize(t).count(q) for q in QUERY_TERMS} for d, t in texts.items()
+    }
+    df = {q: sum(1 for d in tf if tf[d][q] > 0) for q in QUERY_TERMS}
+    idf = {q: (n * IDF_SCALE) // df[q] if df[q] else 0 for q in QUERY_TERMS}
+    return {d: sum(tf[d][q] * idf[q] for q in QUERY_TERMS) for d in tf}, tf
+
+
+def test_search_topk_matches_bruteforce():
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        SNIPPET_CHARS,
+        TOP_K,
+        search_topk,
+    )
+
+    scores, _ = _brute_scores()
+    texts = _texts()
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    got = search_topk(SF)
+    assert got.column("doc_id").to_pylist() == [d for d, _ in want]
+    assert got.column("score").to_pylist() == [s for _, s in want]
+    assert got.column("rank").to_pylist() == list(range(1, len(want) + 1))
+    for d, snip in zip(
+        got.column("doc_id").to_pylist(), got.column("snippet").to_pylist()
+    ):
+        assert snip == texts[d][:SNIPPET_CHARS]
+    assert want[0][1] > 0  # non-vacuous: the query matches the corpus
+
+
+def test_search_and_terms_matches_bruteforce():
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        search_and_terms,
+    )
+
+    _, tf = _brute_scores()
+    want = {d for d, v in tf.items() if all(c > 0 for c in v.values())}
+    got = set(search_and_terms(SF).column("doc_id").to_pylist())
+    assert got == want
+    assert 0 < len(want) < len(tf)  # AND actually filters something
