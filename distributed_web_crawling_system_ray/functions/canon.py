@@ -82,6 +82,8 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if not host:  # a host of only dots ("http://.") strips to nothing
+        return None
     if port is None or (scheme == "http" and port == 80) or (
         scheme == "https" and port == 443
     ):
