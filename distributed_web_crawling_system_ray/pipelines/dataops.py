@@ -34,6 +34,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -306,33 +307,78 @@ def doc_lsh_candidates(sf_dir: str) -> pa.Table:
     )
 
 
+VERIFY_BUCKETS = 32
+
+
 def doc_near_dup_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH candidates verified by exact 3-gram Jaccard >= 0.8.
 
     The output is exactly 'all pairs with true Jaccard >= tau' (the SQL
     oracle brute-forces the same) — with 32x4 banding the probability of LSH
-    missing a tau-level pair is < 1e-6 per pair.  The shingle index for
-    verification is broadcast via ray.put (documents are the small side
-    here); at web scale verification becomes a bucket-join instead.
+    missing a tau-level pair is < 1e-6 per pair.
+
+    Verify stage is a BUCKET JOIN (no whole-corpus state anywhere): the
+    candidate pair list — the genuinely small side, two int64 per pair — is
+    broadcast once; each pair is assigned to bucket h(a)%P; the docs Dataset
+    streams through a flat-map that replicates a doc's text ONLY to the
+    buckets whose pairs reference it (most docs are in no pair and are
+    dropped at this stage); ``groupby(bucket)`` then co-locates each bucket's
+    pairs with exactly the texts they need and verifies locally.  Per-group
+    memory = texts referenced by one bucket's pairs, never the corpus.
     """
     cands = doc_lsh_candidates(sf_dir)
-    docs = _to_table(_docs(sf_dir))
-    index = {
-        did: set(_shingles(text))
-        for did, text in zip(
-            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
-        )
-    }
-    index_ref = ray.put(index)
+    if cands.num_rows == 0:
+        return cands
+    a_arr = cands.column("a").to_numpy(zero_copy_only=False)
+    b_arr = cands.column("b").to_numpy(zero_copy_only=False)
+    bucket_of_pair = (a_arr.astype(np.uint64) % VERIFY_BUCKETS).astype(np.int32)
+    # doc_id -> buckets that need its text (small: pair members only)
+    need: dict[int, list[int]] = {}
+    for a, b, bk in zip(a_arr, b_arr, bucket_of_pair):
+        need.setdefault(int(a), []).append(int(bk))
+        need.setdefault(int(b), []).append(int(bk))
+    need = {d: sorted(set(bs)) for d, bs in need.items()}
+    need_ref = ray.put(need)
+    pairs_by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for a, b, bk in zip(a_arr, b_arr, bucket_of_pair):
+        pairs_by_bucket.setdefault(int(bk), []).append((int(a), int(b)))
+    pairs_ref = ray.put(pairs_by_bucket)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def route_texts(batch: pa.Table) -> pa.Table:
         from distributed_web_crawling_system_ray.stages.cache import get_object
 
-        idx = get_object(index_ref)
+        need_ = get_object(need_ref)
+        out_b, out_d, out_t = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for bk in need_.get(did, ()):
+                out_b.append(bk)
+                out_d.append(did)
+                out_t.append(text)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int32()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        pairs_ = get_object(pairs_ref)
+        bk = int(group.column("bucket")[0].as_py())
+        sh = {
+            did: set(_shingles(text))
+            for did, text in zip(
+                group.column("doc_id").to_pylist(), group.column("text").to_pylist()
+            )
+        }
         a_out, b_out = [], []
-        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            sa, sb = idx[a], idx[b]
-            if not sa and not sb:
+        for a, b in pairs_.get(bk, ()):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None or (not sa and not sb):
                 continue
             inter = len(sa & sb)
             if inter / (len(sa) + len(sb) - inter) >= JACCARD_TAU:
@@ -342,9 +388,12 @@ def doc_near_dup_pairs(sf_dir: str) -> pa.Table:
             {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
         )
 
-    if cands.num_rows == 0:
-        return cands
-    verified = ray.data.from_arrow(cands).map_batches(verify, batch_format="pyarrow")
+    verified = (
+        _docs(sf_dir)
+        .map_batches(route_texts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
     out = _to_table(verified)
     return (
         out.sort_by([("a", "ascending"), ("b", "ascending")])
@@ -474,10 +523,38 @@ ANN_K = 10
 ANN_N_QUERIES = 10
 
 
-def _emb_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    tbl = _to_table(_emb(sf_dir))
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+def _query_matrix(sf_dir: str, n: int = ANN_N_QUERIES) -> tuple[np.ndarray, np.ndarray]:
+    """The n lowest-vec_id query rows WITHOUT loading the table: a local
+    min-k over the (pruned) vec_id column per batch + tiny driver merge,
+    then a pushdown-filtered read of exactly those n embedding rows."""
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column("vec_id").to_numpy(zero_copy_only=False))[:n]
+        return pa.table({"vec_id": pa.array(v, pa.int64())})
+
+    parts = [
+        t
+        for t in ray.get(
+            _emb(sf_dir, columns=("vec_id",))
+            .map_batches(local_min, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    qids = np.sort(
+        np.concatenate(
+            [p.column("vec_id").to_numpy(zero_copy_only=False) for p in parts]
+        )
+    )[:n]
+    qtbl = _to_table(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=pa.compute.field("vec_id").isin(qids.tolist()),
+        )
+    )
+    ids = np.asarray(qtbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(qtbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -487,11 +564,10 @@ def ann_topk(sf_dir: str) -> pa.Table:
     matrix; per-batch local top-k then a tiny global merge per query.
 
     Output (query_id, neighbor_id) pairs — rank-free so the comparison is
-    order-insensitive.  Queries = the ANN_N_QUERIES lowest vec_ids.
+    order-insensitive.  Queries = the ANN_N_QUERIES lowest vec_ids, loaded
+    via a pruned filtered read (the corpus never touches the driver).
     """
-    ids, mat = _emb_matrix(sf_dir)
-    qids = ids[:ANN_N_QUERIES]
-    q = mat[:ANN_N_QUERIES]
+    qids, q = _query_matrix(sf_dir)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put((qids, qn))
 
@@ -552,13 +628,10 @@ def ann_topk_lsh(sf_dir: str) -> pa.Table:
     """
     rng = np.random.default_rng(42)
     n_tables, n_bits = 12, 6
-    ids, mat = _emb_matrix(sf_dir)
-    dim = mat.shape[1]
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
     planes = rng.standard_normal((n_tables, n_bits, dim))
-    qids = ids[:ANN_N_QUERIES]
-    qn = mat[:ANN_N_QUERIES] / np.linalg.norm(
-        mat[:ANN_N_QUERIES], axis=1, keepdims=True
-    )
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     q_sig = (np.einsum("tbd,qd->tqb", planes, qn) > 0).astype(np.uint32)
     q_keys = (q_sig << np.arange(n_bits, dtype=np.uint32)).sum(axis=2)  # (T, Q)
     bcast = ray.put((qids, qn, planes, q_keys))
@@ -604,40 +677,200 @@ def ann_topk_lsh(sf_dir: str) -> pa.Table:
     return _to_table(out)
 
 
+EMB_BLOCK_ROWS = 8192  # rows per self-join block (block pair ~ 2x 4 MB @ d=64)
+_EMB_MM_CHUNK = 1024  # inner matmul row-chunk: bounds the sims temp
+
+
 def emb_near_dup_pairs(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-dup: all pairs with cosine >= 0.95.
+    """Embedding-cosine near-dup: ALL pairs with cosine >= COSINE_TAU.
 
-    Per-batch block matmul against the broadcast normalized matrix (the
-    'small side' at these scales; at web scale the LSH bucketing above
-    replaces the broadcast).  Emits each pair once (a < b).
+    Scale shape: a BLOCKED EXACT SELF-JOIN — the corpus is split into B
+    object-store blocks (never materialized on the driver, never broadcast
+    whole); one task per block pair (i <= j) pulls exactly two blocks and
+    emits its threshold hits, with the matmul row-chunked to bound the sims
+    temporary.  Total work is inherently O(N^2) for an *exact* threshold at
+    this tau: the testdata is near-isotropic (max pairwise cosine ~0.51), so
+    tau=0.45 sits where hyperplane-LSH recall-1 would need more candidate
+    comparisons than brute force (per-plane agreement p=0.65: 40+ tables of
+    4 bits to push per-pair miss below 1e-3).  For clustered/high-tau data
+    the sub-linear path is the generic ``emb_threshold_lsh`` (pytest-
+    verified on planted clusters); ``ann_topk_lsh`` is the top-k analog.
     """
-    ids, mat = _emb_matrix(sf_dir)
-    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bcast = ray.put((ids, mn))
+    import pyarrow.parquet as _pq
 
-    def block(batch: pa.Table) -> pa.Table:
-        from distributed_web_crawling_system_ray.stages.cache import get_object
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = _pq.read_metadata(path).num_rows
+    n_blocks = max(2, min(64, n_rows // EMB_BLOCK_ROWS + 1))
 
-        ids_, mn_ = get_object(bcast)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    def normalize(batch: pa.Table) -> pa.Table:
         m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = bn @ mn_.T  # (batch, N)
-        ii, jj = np.nonzero(sims >= COSINE_TAU)
-        a, b = [], []
-        for i, j in zip(ii, jj):
-            va, vb = int(vids[i]), int(ids_[j])
-            if va < vb:  # emit once, skip self
-                a.append(va)
-                b.append(vb)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "norm": pa.array(list(mn), pa.list_(pa.float64())),
+            }
+        )
 
+    # per-block normalized refs, resident in the object store (zero-copy for
+    # every task that reads them); the driver holds only the ref list
+    refs = (
+        ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"], override_num_blocks=n_blocks
+        )
+        .map_batches(normalize, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    B = len(refs)
+
+    def _load(i: int) -> tuple[np.ndarray, np.ndarray]:
+        t = ray.get(refs[i])
+        return (
+            t.column("vec_id").to_numpy(zero_copy_only=False),
+            np.asarray(t.column("norm").to_pylist(), dtype=np.float64),
+        )
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            ia, na = _load(i)
+            if len(ia) == 0:
+                continue
+            if i == j:
+                ib, nb = ia, na
+            else:
+                ib, nb = _load(j)
+                if len(ib) == 0:
+                    continue
+            for off in range(0, len(ia), _EMB_MM_CHUNK):
+                chunk = slice(off, off + _EMB_MM_CHUNK)
+                sims = na[chunk] @ nb.T
+                ii, jj = np.nonzero(sims >= COSINE_TAU)
+                for x, y in zip(ii, jj):
+                    va, vb = int(ia[off + x]), int(ib[y])
+                    if i == j:
+                        # same block: nonzero yields both (x,y) and (y,x);
+                        # keep the upper triangle (also drops self-pairs)
+                        if va < vb:
+                            a_out.append(va)
+                            b_out.append(vb)
+                    else:
+                        # disjoint blocks: each cross pair appears exactly
+                        # once (only i<j tasks exist) — orient by id
+                        a_out.append(min(va, vb))
+                        b_out.append(max(va, vb))
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    pair_items = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
     out = _to_table(
-        _emb(sf_dir).map_batches(block, batch_format="pyarrow", batch_size=2048)
+        ray.data.from_items(
+            pair_items, override_num_blocks=len(pair_items)
+        ).map_batches(block_pair, batch_format="pyarrow")
     )
     if out is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     df = out.to_pandas().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def emb_threshold_lsh(
+    emb_ds: "ray.data.Dataset",
+    tau: float,
+    n_bits: int | None = None,
+    miss_per_pair: float = 1e-4,
+    seed: int = 7,
+) -> pa.Table:
+    """Sub-linear cosine-threshold pairs via hyperplane LSH — the scale path
+    for CLUSTERED embeddings at high tau (where ``emb_near_dup_pairs``'s
+    exact blocked self-join would waste O(N^2) on obvious non-pairs).
+
+    Buckets by ``n_bits`` random-hyperplane signs across T independent
+    tables, T sized so the per-pair miss probability at cosine exactly tau
+    is below ``miss_per_pair`` (p_agree = 1 - acos(tau)/pi per plane; miss =
+    (1 - p^b)^T); in-bucket candidates are verified by exact cosine, pair
+    set deduped across tables by a bounded hash partition.  Probabilistic
+    recall — pytest pins it against brute force on planted clusters; the
+    isotropic-low-tau testdata queries use the exact path instead (see
+    ``emb_near_dup_pairs``).
+    """
+    p = 1.0 - np.arccos(tau) / np.pi
+    first = emb_ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0].as_py())
+    if n_bits is None:
+        n_bits = 8
+    n_tables = max(1, int(np.ceil(np.log(miss_per_pair) / np.log(1.0 - p**n_bits))))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        pl = get_object(planes_ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = (np.einsum("tbd,nd->tnb", pl, mn) > 0).astype(np.uint32)
+        keys = (sig << np.arange(sig.shape[2], dtype=np.uint32)).sum(axis=2)  # (T,n)
+        t_col, k_col, id_col, vecs = [], [], [], []
+        for t in range(keys.shape[0]):
+            t_col.extend([t] * len(vids))
+            k_col.extend(keys[t].tolist())
+            id_col.extend(vids.tolist())
+            vecs.extend(list(mn))
+        return pa.table(
+            {
+                "tbl": pa.array(t_col, pa.int32()),
+                "key": pa.array(k_col, pa.int64()),
+                "vec_id": pa.array(id_col, pa.int64()),
+                "norm": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mn = np.asarray(group.column("norm").to_pylist(), dtype=np.float64)
+        sims = mn @ mn.T
+        ii, jj = np.nonzero(sims >= tau)
+        a_out, b_out = [], []
+        for x, y in zip(ii, jj):
+            if ids[x] < ids[y]:
+                a_out.append(int(ids[x]))
+                b_out.append(int(ids[y]))
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    cand = (
+        emb_ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby(["tbl", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(1_000_003)
+            + batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return batch.append_column("pair_key", pa.array(key, pa.uint64()))
+
+    def dedup(part: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            part.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    out = _to_table(
+        hash_partition_apply(
+            cand.map_batches(add_key, batch_format="pyarrow"), "pair_key", dedup, P=16
+        )
+    )
+    if out is None:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    df = out.to_pandas()[["a", "b"]].sort_values(["a", "b"])
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -855,9 +1088,10 @@ def image_stats_by_fmt(sf_dir: str) -> pa.Table:
                     batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
                     * batch.column("h").to_numpy(zero_copy_only=False)
                 ),
-                "nbytes": [
-                    len(x) for x in batch.column("bytes").to_pylist()
-                ],
+                # binary_length reads list offsets only — no blob copies
+                "nbytes": pc.binary_length(batch.column("bytes")).to_numpy(
+                    zero_copy_only=False
+                ),
             }
         )
         g = df.groupby("fmt", as_index=False).agg(
@@ -1053,26 +1287,14 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
     return _to_table(out)
 
 
-def doc_dedup_clusters(sf_dir: str) -> pa.Table:
-    """Near-dup connected components: LSH-verified pairs -> min-label
-    propagation until fixpoint -> (doc_id, cluster_id=min id in component).
-
-    The iterative groupby pattern for components (guide: MinHash-LSH note):
-    each round joins labels across edges and takes the min per node; rounds
-    = component diameter (tiny for near-dup clusters).  Docs in no pair form
-    singleton clusters.  SQL oracle: recursive CTE transitive closure.
-    """
-    pairs = doc_near_dup_pairs(sf_dir)
+def _cc_labels_driver(pairs: pa.Table) -> dict[int, int]:
+    """Min-label propagation over the (small) verified edge set, driver-side.
+    Returns labels ONLY for pair-member nodes."""
     edges: dict[int, set[int]] = {}
     for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
         edges.setdefault(a, set()).add(b)
         edges.setdefault(b, set()).add(a)
-    docs = _to_table(_docs(sf_dir, columns=("doc_id",)))
-    ids = docs.column("doc_id").to_pylist()
-    label = {d: d for d in ids}
-    # min-label propagation; the edge set is LSH-verified pairs (small by
-    # construction), so driver-side iteration is the right altitude — at web
-    # scale each round becomes groupby(node).min over an edge-label Dataset
+    label = {d: d for d in edges}
     changed = True
     while changed:
         changed = False
@@ -1081,11 +1303,122 @@ def doc_dedup_clusters(sf_dir: str) -> pa.Table:
             if m < label[u]:
                 label[u] = m
                 changed = True
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array([label[d] for d in ids], pa.int64()),
-        }
+    return label
+
+
+def _cc_labels_dataset(pairs: pa.Table) -> dict[int, int]:
+    """Dataset-native min-label propagation (the web-scale path): labels and
+    edges are Datasets; each round sends every node's current label across
+    its edges and folds ``groupby(node).min(label)``; terminates when the
+    global label sum (a tiny aggregate) stops falling — monotone, so this is
+    a fixpoint test, not a heuristic.  Rounds = component diameter.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    nodes = pa.concat_tables(
+        [pairs.select(["a"]).rename_columns(["node"]), pairs.select(["b"]).rename_columns(["node"])]
+    )
+    uniq = np.unique(nodes.column("node").to_numpy(zero_copy_only=False))
+    labels_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(uniq, pa.int64()), "label": pa.array(uniq, pa.int64())})
+    )
+    # symmetric edge list, kept in the object store and re-joined every round
+    edges_tbl = pa.concat_tables(
+        [
+            pairs.rename_columns(["src", "dst"]),
+            pa.table({"src": pairs.column("b"), "dst": pairs.column("a")}),
+        ]
+    )
+    edges_ds = ray.data.from_arrow(edges_tbl)
+
+    def messages(group: pa.Table) -> pa.Table:
+        """One src node's rows: its label row + its outgoing edges ->
+        (dst, label) messages plus the self (src, label) row."""
+        lbl = group.column("label")
+        lv = int(pc.min(lbl).as_py())
+        dsts = [
+            d
+            for d in group.column("dst").to_pylist()
+            if d is not None
+        ]
+        node = int(group.column("src")[0].as_py())
+        return pa.table(
+            {
+                "node": pa.array(dsts + [node], pa.int64()),
+                "label": pa.array([lv] * (len(dsts) + 1), pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    while True:
+        lbl_as_src = labels_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("node"),
+                    "dst": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges_ds.map_batches(
+            lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+        labels_ds = (
+            lbl_as_src.union(edge_rows)
+            .groupby("src")
+            .map_groups(messages, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        cur = int(labels_ds.aggregate(Sum("label"))["sum(label)"])
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    out = _to_table(labels_ds)
+    return dict(
+        zip(out.column("node").to_pylist(), out.column("label").to_pylist())
+    )
+
+
+CC_DRIVER_EDGE_LIMIT = 5_000_000  # pairs above this go through the Dataset path
+
+
+def doc_dedup_clusters(sf_dir: str, cc_driver_edge_limit: int | None = None) -> pa.Table:
+    """Near-dup connected components: LSH-verified pairs -> min-label
+    propagation until fixpoint -> (doc_id, cluster_id=min id in component).
+
+    Labels are computed ONLY for pair-member nodes (edge-set-sized — small by
+    LSH construction): driver loop below ``cc_driver_edge_limit`` edges, the
+    Dataset-native iterative ``groupby(node).min(label)`` rounds above it
+    (``_cc_labels_dataset``; pytest pins both paths equal).  The full doc set
+    never materializes anywhere: singleton clusters (label = own id) are
+    emitted by a streaming map over the docs Dataset with the pair-member
+    label map broadcast once.  SQL oracle: recursive CTE transitive closure.
+    """
+    pairs = doc_near_dup_pairs(sf_dir)
+    limit = CC_DRIVER_EDGE_LIMIT if cc_driver_edge_limit is None else cc_driver_edge_limit
+    if pairs.num_rows <= limit:
+        label = _cc_labels_driver(pairs)
+    else:
+        label = _cc_labels_dataset(pairs)
+    label_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        lbl = get_object(label_ref)
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "cluster_id": pa.array([lbl.get(d, d) for d in ids], pa.int64()),
+            }
+        )
+
+    return _to_table(
+        _docs(sf_dir, columns=("doc_id",)).map_batches(assign, batch_format="pyarrow")
     )
 
 
