@@ -80,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
     # its cache dir; ensure it exists at the driver's compare scale (sf0.01
     # -> t2) before returning the SQL strings.
     from distributed_web_crawling_system_ray.api import (
+        crawl_metrics_sql,
         crawl_payload_sql,
         crawl_seen_sql,
     )
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_seen_set": crawl_seen_sql(t2),
         "crawl_payload_meta": crawl_payload_sql(t2),
+        "crawl_metrics": crawl_metrics_sql(t2),
         "orders_by_region": (
             "SELECT r.r_name, count(*)::BIGINT AS n_orders, "
             "sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents "
@@ -116,6 +118,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         # crawl_fetch_order / crawl_schedule: rows-only (BFS rank assignment
         # and virtual-time politeness are not SQL-expressible)
+        "doc_langid": (
+            "WITH tok AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+            "sc AS (SELECT doc_id, text, "
+            "len(list_filter(w, x -> x IN ('the','and','of','is','to','a','in',"
+            "'that','with','for')))::BIGINT AS s_en, "
+            "len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los',"
+            "'un','por','con')))::BIGINT AS s_es, "
+            "len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein',"
+            "'mit','von','zu','den')))::BIGINT AS s_de, "
+            "len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une',"
+            "'du','est','dans')))::BIGINT AS s_fr FROM tok) "
+            "SELECT doc_id, CASE "
+            "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+            "WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown' "
+            "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+            "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM sc"
+        ),
+        "image_features": (
+            f"SELECT image_id, w, h, fmt, mean_r, mean_g, mean_b, phash "
+            f"FROM read_parquet('{t2}/images.parquet')"
+        ),
+        "image_thumbnails": (
+            f"SELECT image_id, "
+            f"CASE WHEN greatest(w, h) <= 64 THEN w ELSE "
+            f"greatest(1, trunc(w / (greatest(w, h) / 64.0))::INT) END::INT AS tw, "
+            f"CASE WHEN greatest(w, h) <= 64 THEN h ELSE "
+            f"greatest(1, trunc(h / (greatest(w, h) / 64.0))::INT) END::INT AS th "
+            f"FROM read_parquet('{t2}/images.parquet')"
+        ),
         "search_topk": (
             "WITH tok AS (SELECT doc_id, text, "
             "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents), "
@@ -246,8 +279,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
             "FROM events GROUP BY event_type"
         ),
-        # doc_simhash_pairs / doc_langid / ann_topk_lsh: rows-only by design
-        # (sketch thresholds and learned-profile scoring are not ANSI-SQL
-        # reducible); their correctness is pytest-asserted against exact
-        # ground truth instead (tests/test_dataops.py).
+        # doc_simhash_pairs / ann_topk_lsh: rows-only by design (sketch
+        # thresholds are not ANSI-SQL reducible); their correctness is
+        # pytest-asserted against exact ground truth (tests/test_dataops.py).
     }

@@ -166,6 +166,70 @@ SELECT url AS canon_url FROM seen
 """
 
 
+def crawl_metrics_sql(fixture_dir: str) -> str:
+    """Per-round counter re-derivation: a depth-tracking recursive CTE.
+
+    BFS round == BFS depth whenever no frontier rows were deferred by the
+    per-host budget and no URLs were injected mid-crawl — both true for the
+    driver's compare crawl (t2 metrics show urls_deferred=0 every round; the
+    pipeline emits the deferral count precisely so this assumption is
+    auditable).  Depth = shortest path through robots-allowed, 200-status
+    pages; links_new(d) = scheduled(d+1); images_written(d) = images whose
+    first referencing fetched-ok page sits at depth d.
+    """
+    d = fixture_dir
+    return f"""
+WITH RECURSIVE
+pages AS (SELECT * FROM read_parquet('{d}/web_pages.parquet')),
+rb AS (SELECT * FROM read_parquet('{d}/robots.parquet')),
+dis AS (SELECT host, unnest(disallow) AS p FROM rb WHERE NOT fetch_fails),
+reach(url, dep) AS (
+  SELECT canon, 0 FROM read_parquet('{d}/seeds.parquet')
+  UNION
+  SELECT unnest(pf.outlinks_resolved), r.dep + 1
+  FROM reach r
+  JOIN pages p0 ON p0.url = r.url
+  JOIN pages pf ON pf.url = coalesce(p0.redirect_to, p0.url)
+  WHERE r.dep < 64 AND pf.status = 200 AND {_allowed_sql('r.url')}
+),
+seen AS (SELECT url, min(dep) AS depth FROM reach GROUP BY url),
+base AS (
+  SELECT s.url, s.depth, {_allowed_sql('s.url')} AS ok_robots,
+         coalesce(pf.status, 404) AS status, pf.image_refs_resolved AS refs
+  FROM seen s
+  LEFT JOIN pages p0 ON p0.url = s.url
+  LEFT JOIN pages pf ON pf.url = coalesce(p0.redirect_to, p0.url)
+),
+img_first AS (
+  SELECT iurl, min(depth) AS depth FROM (
+    SELECT unnest(refs) AS iurl, depth FROM base
+    WHERE ok_robots AND status = 200
+  ) GROUP BY iurl
+),
+img_w AS (
+  SELECT f.depth, count(*) AS n FROM img_first f
+  JOIN read_parquet('{d}/images.parquet') im ON im.image_url = f.iurl
+  WHERE {_allowed_sql('f.iurl')} GROUP BY f.depth
+),
+per AS (
+  SELECT depth,
+    count(*)::BIGINT AS urls_scheduled,
+    sum(CASE WHEN ok_robots THEN 1 ELSE 0 END)::BIGINT AS urls_fetched,
+    sum(CASE WHEN ok_robots AND status != 200 THEN 1 ELSE 0 END)::BIGINT
+      AS urls_failed,
+    sum(CASE WHEN NOT ok_robots THEN 1 ELSE 0 END)::BIGINT AS urls_disallowed
+  FROM base GROUP BY depth
+)
+SELECT m.depth::BIGINT AS round, m.urls_scheduled, m.urls_fetched,
+  m.urls_failed, m.urls_disallowed,
+  coalesce(m2.urls_scheduled, 0)::BIGINT AS links_new,
+  coalesce(iw.n, 0)::BIGINT AS images_written
+FROM per m
+LEFT JOIN per m2 ON m2.depth = m.depth + 1
+LEFT JOIN img_w iw ON iw.depth = m.depth
+"""
+
+
 def crawl_payload_sql(fixture_dir: str) -> str:
     d = fixture_dir
     return f"""

@@ -51,6 +51,18 @@ def _normalize_path(path: str) -> str:
     return norm
 
 
+# whitespace must not survive into the canonical form: str.strip() at the
+# next canonicalization would eat a trailing \x0c/space that is part of the
+# path, breaking idempotence (found by hypothesis) — so percent-encode it.
+_WS_ENC = {c: f"%{ord(c):02X}" for c in " \t\n\r\x0b\x0c"}
+
+
+def _encode_ws(s: str) -> str:
+    if not any(c in s for c in _WS_ENC):
+        return s
+    return "".join(_WS_ENC.get(ch, ch) for ch in s)
+
+
 def canonicalize(url: str, base: str | None = None) -> str | None:
     """Canonical form of ``url`` (resolved against ``base`` if relative).
 
@@ -90,8 +102,8 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
         netloc = host
     else:
         netloc = f"{host}:{port}"
-    path = _normalize_path(p.path)
-    query = f"?{p.query}" if p.query else ""
+    path = _encode_ws(_normalize_path(p.path))
+    query = f"?{_encode_ws(p.query)}" if p.query else ""
     return f"{scheme}://{netloc}{path}{query}"
 
 

@@ -56,7 +56,7 @@ class WebParams:
     image_ratio: float = 0.5
     include_pixel_oracle: bool = True
     max_dim: int = 512
-    schema_version: int = 5  # bump to invalidate cached fixtures
+    schema_version: int = 6  # bump to invalidate cached fixtures
 
 
 SCALES: dict[str, WebParams] = {
@@ -315,6 +315,7 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
     # deterministic noise — exercises phash / embedding near-dup operators
     # (the reference lists near-dup as future work, system_architecture_v3.md:319)
     ids, blobs, ws, hs, fmts, caps, phs, pix = [], [], [], [], [], [], [], []
+    mrs, mgs, mbs = [], [], []  # decoded mean color — image_features oracle
     dup_of: list[int | None] = [None] * n_img
     for j in range(n_img):
         if j > 0 and rng.random() < 0.04:
@@ -347,6 +348,10 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
         fmts.append(str(img_fmt[j]))
         caps.append(_caption(j, iid, rng))
         phs.append(phash64(dec))  # phash of what the pipeline will decode
+        mm = dec.reshape(-1, 3).mean(axis=0)
+        mrs.append(int(round(mm[0])))
+        mgs.append(int(round(mm[1])))
+        mbs.append(int(round(mm[2])))
         if params.include_pixel_oracle:
             buf = io.BytesIO()
             np.save(buf, px)
@@ -361,6 +366,9 @@ def generate(params: WebParams) -> dict[str, pa.Table]:
             "fmt": pa.array(fmts, pa.string()),
             "caption": pa.array(caps, pa.string()),
             "phash": pa.array(phs, pa.int64()),
+            "mean_r": pa.array(mrs, pa.int32()),
+            "mean_g": pa.array(mgs, pa.int32()),
+            "mean_b": pa.array(mbs, pa.int32()),
         }
     )
     out = {"seeds": seeds, "web_pages": web_pages, "robots": robots, "images": images}
