@@ -63,6 +63,13 @@ class CrawlConfig:
 
     real_time_politeness: bool = False
 
+    # fetch-store backend: "synthetic" (fixture tables through the object
+    # store — tests/bench; this sandbox has no network) or "http" (per-worker
+    # requests.Session against live URLs, sources/httpstore.py — the
+    # deployment seam; exercised by tests/test_httpstore.py against an
+    # in-process fixture server)
+    store_backend: str = "synthetic"
+
     # checkpointing
     checkpoint_dir: str | None = None
 

@@ -262,12 +262,24 @@ def run_crawl(
     driver_policies = RobotsPolicies.from_table(robots_table)
     # broadcast the synthetic-web store once through the object store: all
     # workers on a node share ONE zero-copy Arrow buffer (per-worker parquet
-    # parses of the images table cost 35-50 s each under I/O contention)
-    store_refs = (
-        ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
-        robots_ref,
-        ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
-    )
+    # parses of the images table cost 35-50 s each under I/O contention).
+    # The http backend needs no table broadcast — each worker holds a
+    # requests.Session (sources/httpstore.py); seeds + robots still come
+    # from fixture_dir.
+    if cfg.store_backend == "http":
+        store_refs = None
+    else:
+        store_refs = (
+            ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
+            robots_ref,
+            ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
+        )
+    store_kwargs = {
+        "store_refs": store_refs,
+        "store_backend": cfg.store_backend,
+        "user_agent": cfg.user_agent,
+        "timeout_s": cfg.fetch_timeout_s,
+    }
 
     clocks: dict[str, int] = {}
     metrics: list[dict] = []
@@ -396,7 +408,7 @@ def run_crawl(
         results = allowed_ds.map_batches(
             fetch_pages,
             fn_kwargs={
-                "store_refs": store_refs,
+                **store_kwargs,
                 "real_time": cfg.real_time_politeness,
                 "rt_epoch": rt_epoch,
             },
@@ -478,7 +490,7 @@ def run_crawl(
             ] or [cand_tbl]
             payload_ds = ray.data.from_arrow(cand_chunks).map_batches(
                 decode_images,
-                fn_kwargs={"store_refs": store_refs},
+                fn_kwargs=store_kwargs,
                 batch_format="pyarrow",
                 batch_size=cfg.decode_batch_size,
             )
@@ -508,7 +520,7 @@ def run_crawl(
                 .map_groups(dedup_first_by_hash, batch_format="pyarrow")
                 .map_batches(
                     decode_images,
-                    fn_kwargs={"store_refs": store_refs},
+                    fn_kwargs=store_kwargs,
                     batch_format="pyarrow",
                     batch_size=cfg.decode_batch_size,
                 )

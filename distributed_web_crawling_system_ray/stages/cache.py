@@ -46,6 +46,18 @@ def get_shared_store(pages_ref, robots_ref, images_ref):
     return _CACHE[key]
 
 
+def get_http_store(user_agent: str, timeout_s: float):
+    """Live-HTTP store handle (requests.Session), one per worker process —
+    the reference's per-crawler session pool (crawler/crawler_node.py:79-83).
+    Selected by CrawlConfig.store_backend == "http"."""
+    key = ("http_store", user_agent, timeout_s)
+    if key not in _CACHE:
+        from distributed_web_crawling_system_ray.sources.httpstore import HttpStore
+
+        _CACHE[key] = HttpStore(user_agent=user_agent, timeout_s=timeout_s)
+    return _CACHE[key]
+
+
 def get_object(ref: "ray.ObjectRef"):
     """ray.get with a per-worker cache — a broadcast object (robots table,
     host clocks) deserializes once per worker instead of once per task."""

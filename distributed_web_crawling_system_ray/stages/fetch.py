@@ -35,12 +35,21 @@ from distributed_web_crawling_system_ray.functions.phash import phash64
 from distributed_web_crawling_system_ray.oracle import RANK_BYTES
 
 
-def _resolve_store(fixture_dir, store_refs):
+def _resolve_store(
+    fixture_dir,
+    store_refs,
+    store_backend: str = "synthetic",
+    user_agent: str = "RayCrawlBot/1.0",
+    timeout_s: float = 10.0,
+):
     from distributed_web_crawling_system_ray.stages.cache import (
+        get_http_store,
         get_shared_store,
         get_store,
     )
 
+    if store_backend == "http":
+        return get_http_store(user_agent, timeout_s)
     if store_refs is not None:
         return get_shared_store(*store_refs)
     return get_store(fixture_dir)
@@ -53,6 +62,9 @@ def fetch_pages(
     store_refs=None,
     real_time: bool = False,
     rt_epoch: float | None = None,
+    store_backend: str = "synthetic",
+    user_agent: str = "RayCrawlBot/1.0",
+    timeout_s: float = 10.0,
 ) -> pa.Table:
     """Fetch stage: scheduled frontier rows -> fetch results.
 
@@ -71,7 +83,7 @@ def fetch_pages(
     sleep (the reference's own optimizer flags its worker sleeps,
     performance_optimizer.py:529-537).
     """
-    store = _resolve_store(fixture_dir, store_refs)
+    store = _resolve_store(fixture_dir, store_refs, store_backend, user_agent, timeout_s)
     if real_time:
         if rt_epoch is None:  # standalone use: anchor at first call per worker
             rt_epoch = time.time()
@@ -223,7 +235,13 @@ def extract_image_candidates(batch: pa.Table) -> pa.Table:
 
 
 def decode_images(
-    batch: pa.Table, *, fixture_dir: str | None = None, store_refs=None
+    batch: pa.Table,
+    *,
+    fixture_dir: str | None = None,
+    store_refs=None,
+    store_backend: str = "synthetic",
+    user_agent: str = "RayCrawlBot/1.0",
+    timeout_s: float = 10.0,
 ) -> pa.Table:
     """Decode stage: image candidate rows -> PAYLOAD rows.
 
@@ -235,7 +253,7 @@ def decode_images(
     undecodable payloads are dropped, as the reference drops failed fetches
     (master/master_node.py:176-178).
     """
-    store = _resolve_store(fixture_dir, store_refs)
+    store = _resolve_store(fixture_dir, store_refs, store_backend, user_agent, timeout_s)
     ids: list[str] = []
     blobs: list[bytes] = []
     ws: list[int] = []
