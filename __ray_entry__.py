@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: text ---
         "doc_exact_dedup": dataops.doc_exact_dedup,
         "doc_token_count": dataops.doc_token_count,
+        "doc_token_count_bpe": dataops.doc_token_count_bpe,
         "doc_fingerprint": dataops.doc_fingerprint,
         "doc_quality_counts": dataops.doc_quality_counts,
         "doc_near_dup_pairs": dataops.doc_near_dup_pairs,
@@ -187,6 +188,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT "
             "AS n_tokens FROM documents"
+        ),
+        "doc_token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(lower(text), "
+            "'[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_pieces FROM documents"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "

@@ -142,6 +142,30 @@ def doc_token_count(sf_dir: str) -> pa.Table:
     return _to_table(_docs(sf_dir).map_batches(count, batch_format="pyarrow"))
 
 
+# BPE-ish pre-tokenization: letter runs / digit runs / single punctuation —
+# the RE2-compatible core of GPT-2's pre-tokenizer split (no lookarounds, so
+# Python re and DuckDB produce identical counts; real BPE merge tables would
+# run on top of these pieces).
+_BPE_SPLIT = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def doc_token_count_bpe(sf_dir: str) -> pa.Table:
+    """Subword-style token count: BPE pre-tokenizer piece count per doc —
+    the 'how many tokens will the model see' estimator (whitespace counting
+    under-counts punctuation-heavy text)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [
+            len(_BPE_SPLIT.findall(t.lower()))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_pieces": pa.array(n, pa.int64())}
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(count, batch_format="pyarrow"))
+
+
 def doc_fingerprint(sf_dir: str) -> pa.Table:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the content-address scheme (crawler/crawler_node.py:253) applied to
