@@ -124,9 +124,11 @@ def doc_exact_dedup(sf_dir: str) -> pa.Table:
         )
 
     def keep_first(part: pa.Table) -> pa.Table:
-        df = part.to_pandas()
-        out = df.sort_values(["text_hash", "doc_id"]).groupby("text_hash", as_index=False)["doc_id"].first()
-        return pa.Table.from_pandas(out[["doc_id", "text_hash"]], preserve_index=False)
+        # Arrow-native grouped min (first == min doc_id under the sort)
+        g = part.group_by("text_hash").aggregate([("doc_id", "min")])
+        return pa.table(
+            {"doc_id": g.column("doc_id_min"), "text_hash": g.column("text_hash")}
+        )
 
     ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
     return _to_table(hash_partition_apply(ds, "text_hash", keep_first))
@@ -938,12 +940,20 @@ def events_tumbling_counts(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         wid = _window_ids(batch)
-        df = pd.DataFrame(
-            {"event_type": batch.column("event_type").to_pylist(), "window_id": wid}
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_id": pa.array(wid, pa.int64()),
+            }
         )
-        g = df.groupby(["event_type", "window_id"], as_index=False).size()
-        g = g.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["event_type", "window_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "window_id": g.column("window_id"),
+                "n": g.column("count_all"),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
@@ -962,14 +972,16 @@ def events_hourly_active_users(sf_dir: str) -> pa.Table:
 
     def pairs(batch: pa.Table) -> pa.Table:
         wid = _window_ids(batch)
-        df = pd.DataFrame(
-            {"window_id": wid, "user_id": batch.column("user_id").to_pylist()}
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.table(
+            {
+                "window_id": pa.array(wid, pa.int64()),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        return t.group_by(["window_id", "user_id"]).aggregate([])
 
     def dedup(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return part.group_by(part.column_names).aggregate([])
 
     from ray.data.aggregate import Count
 
@@ -1463,13 +1475,17 @@ def events_sliding_active_users(sf_dir: str) -> pa.Table:
         # window w (indexed by its start slot) covers slots [w, w+k)
         starts = np.concatenate([slot - i for i in range(k)])
         u = np.tile(users, k)
-        df = pd.DataFrame({"window_slot": starts, "user_id": u}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.table(
+            {
+                "window_slot": pa.array(starts, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+            }
+        )
+        # Arrow-native distinct: group_by with no aggregates keeps unique keys
+        return t.group_by(["window_slot", "user_id"]).aggregate([])
 
     def dedup(part: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            part.to_pandas().drop_duplicates(), preserve_index=False
-        )
+        return part.group_by(part.column_names).aggregate([])
 
     from ray.data.aggregate import Count
 
