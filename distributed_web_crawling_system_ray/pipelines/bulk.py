@@ -12,8 +12,8 @@ broadcast are setup, not throughput; a small warmup pass spins up the worker
 pool; ``repeat`` stacks R copies of the URL set (distinct rank paths) into
 one pipeline so the measured window is long enough to amortize the fixed
 pipeline start/stop cost at the higher parallelism level.  With repeat>1 the
-image-seen anti-join is skipped (every copy decodes its refs) — image dedup
-is measured by the BFS crawl bench; this pass measures raw sustained
+image set-dedup shuffle is skipped (every copy decodes its refs) — image
+dedup is measured by the BFS crawl bench; this pass measures raw sustained
 fetch+decode.
 
 The BFS crawl (pipelines/crawl.py) shares every stage with this; the only
