@@ -1,12 +1,14 @@
 """Multimodal payload stages: decode / resize / feature-extract / frame-sample.
 
-Image stages are REAL (self-contained codecs, numpy kernels).  Audio/video
-decode is STUBBED — the container ships no media libraries — but the
-Ray-side plumbing (schemas, batch signatures, actor/task shape, output
-layout) is the production contract: swap the stub body for a real codec and
-nothing else changes.  All stages are Arrow-in/Arrow-out ``map_batches``
-bodies over binary payload columns; batch sizing must be byte-based for
-large media (CrawlConfig.decode_batch_size notes).
+Image stages are REAL (self-contained codecs, numpy kernels); audio decode
+is REAL for PCM WAV (stdlib ``wave`` RIFF parsing — no external codec
+needed).  Video frame-sampling is the one STUB — no video codec ships in
+this container — but its Ray-side plumbing (schema, batch signature,
+actor/task shape, output layout) is the production contract: swap the stub
+body for a real codec and nothing else changes.  All stages are
+Arrow-in/Arrow-out ``map_batches`` bodies over binary payload columns;
+batch sizing must be byte-based for large media
+(CrawlConfig.decode_batch_size notes).
 """
 
 from __future__ import annotations
@@ -140,17 +142,52 @@ VIDEO_FRAME_SCHEMA = pa.schema(
 
 
 def decode_audio(batch: pa.Table) -> pa.Table:
-    """STUB — no audio codec ships in this container.
+    """Audio feature extraction — REAL for PCM WAV (stdlib ``wave`` parses
+    the RIFF container; no external codec needed), undecodable payloads
+    dropped like failed fetches.  Compressed formats (mp3/ogg/flac) would
+    need a codec this container doesn't ship — they hit the same drop path;
+    swapping in soundfile/ffmpeg touches only the ``_decode_wav`` body.
 
-    Contract: input rows (audio_id:string, bytes:binary); output
-    AUDIO_FEATURE_SCHEMA.  Runs as a task-based map stage with byte-based
-    batch sizing exactly like decode_images; replace this body with a real
-    decoder (e.g. soundfile/ffmpeg) to activate.
+    Input rows (audio_id:string, bytes:binary) -> AUDIO_FEATURE_SCHEMA.
+    Runs as a task-based map stage with byte-based batch sizing exactly like
+    decode_images.  Loudness = RMS dBFS x100 (integer, oracle-friendly).
     """
-    raise NotImplementedError(
-        "audio decode: no audio codec available in this container; "
-        "the stage contract (schema, batching, placement) is live — see "
-        "stages/multimodal.py"
+    import io
+    import wave
+
+    ids, rates, durs, louds = [], [], [], []
+    for aid, blob in zip(
+        batch.column("audio_id").to_pylist(), batch.column("bytes").to_pylist()
+    ):
+        try:
+            with wave.open(io.BytesIO(blob)) as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                width = w.getsampwidth()
+                frames = w.readframes(n)
+            if width == 2:
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:
+                x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            else:
+                continue  # 24/32-bit: out of scope for the stdlib parser
+            if len(x) == 0 or rate <= 0:
+                continue
+            rms = float(np.sqrt(np.mean(x * x)))
+            db = -9999.0 if rms <= 1e-9 else 20.0 * np.log10(rms)
+        except Exception:
+            continue  # undecodable payload == failed fetch
+        ids.append(aid)
+        rates.append(rate)
+        durs.append(int(n * 1000 // rate))
+        louds.append(int(round(db * 100)))
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "loudness_db_x100": pa.array(louds, pa.int32()),
+        }
     )
 
 

@@ -82,19 +82,55 @@ def test_phash_near_dup_finds_planted_duplicates():
     assert all(x < y for x, y in zip(a, b))
 
 
-def test_stub_stages_raise_cleanly():
+def _wav_bytes(freq_hz: float, dur_s: float, rate: int = 8000, amp: float = 0.5) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(rate * dur_s)
+    t = np.arange(n) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav():
+    """decode_audio is REAL for PCM WAV: rate/duration/loudness from actual
+    samples; undecodable bytes drop like failed fetches."""
+    import numpy as np
+
+    from distributed_web_crawling_system_ray.stages.multimodal import decode_audio
+
+    wav = _wav_bytes(440.0, 0.25)
+    batch = pa.table(
+        {
+            "audio_id": pa.array(["a1", "junk"]),
+            "bytes": pa.array([wav, b"\x00notawav"], pa.binary()),
+        }
+    )
+    out = decode_audio(batch)
+    assert out.column("audio_id").to_pylist() == ["a1"]  # junk row dropped
+    assert out.column("sample_rate").to_pylist() == [8000]
+    assert out.column("duration_ms").to_pylist() == [250]
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2) -> 20*log10 = ~-9.03 dBFS
+    want = int(round(20 * np.log10(0.5 / np.sqrt(2)) * 100))
+    got = out.column("loudness_db_x100").to_pylist()[0]
+    assert abs(got - want) <= 2
+
+
+def test_video_stub_raises_cleanly():
     from distributed_web_crawling_system_ray.stages.multimodal import (
         AUDIO_FEATURE_SCHEMA,
         VIDEO_FRAME_SCHEMA,
-        decode_audio,
         sample_video_frames,
     )
 
-    batch = pa.table(
-        {"audio_id": pa.array(["a1"]), "bytes": pa.array([b"\x00"], pa.binary())}
-    )
-    with pytest.raises(NotImplementedError, match="audio"):
-        decode_audio(batch)
     vbatch = pa.table(
         {"video_id": pa.array(["v1"]), "bytes": pa.array([b"\x00"], pa.binary())}
     )
