@@ -58,6 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,
         "ann_topk_lsh": dataops.ann_topk_lsh,
+        # IVF path registered at full probe (nprobe == nlist): exercises the
+        # whole assign/probe/merge pipeline while provably equal to brute
+        # force, so it hash-checks against the same SQL; approximate mode
+        # (default nprobe) is pytest-pinned for recall in test_dataops.py
+        "ann_topk_ivf": (
+            lambda sf_dir: dataops.ann_topk_ivf(sf_dir, nprobe=dataops.IVF_NLIST)
+        ),
         "emb_label_counts": dataops.emb_label_counts,
         # --- relational joins (broadcast + partitioned hash) ---
         "orders_by_region": dataops.orders_by_region,
@@ -252,6 +259,16 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.v, b.v) >= 0.45"
         ),
         "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "s AS (SELECT q.query_id, v.vec_id, "
+            "list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim "
+            "FROM q JOIN embeddings v ON v.vec_id != q.query_id) "
+            "SELECT query_id, vec_id FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10"
+        ),
+        # full-probe IVF is provably identical to brute force -> same oracle
+        "ann_topk_ivf": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e "
             "FROM embeddings ORDER BY vec_id LIMIT 10), "
             "s AS (SELECT q.query_id, v.vec_id, "

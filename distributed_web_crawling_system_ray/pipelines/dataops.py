@@ -707,6 +707,95 @@ EMB_BLOCK_ROWS = 8192  # rows per self-join block (block pair ~ 2x 4 MB @ d=64)
 _EMB_MM_CHUNK = 1024  # inner matmul row-chunk: bounds the sims temp
 
 
+IVF_NLIST = 8
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 4096
+IVF_KMEANS_ITERS = 10
+
+
+def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
+    """Coarse quantizer: seeded Lloyd k-means on a bounded training sample
+    (the classic IVF recipe — the sample is the only data the driver holds;
+    ``limit`` stops the read after the first blocks)."""
+    sample = _to_table(_emb(sf_dir).limit(IVF_TRAIN_SAMPLE))
+    m = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(17)
+    cent = mn[rng.choice(len(mn), size=min(nlist, len(mn)), replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(mn @ cent.T, axis=1)  # cosine assignment
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = mn[mask].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ann_topk_ivf(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
+    """IVF-style bucketed ANN — the cluster-pruned scale path for similarity
+    search (complements the hyperplane-LSH path): vectors are assigned to
+    their nearest coarse centroid inside ``map_batches``; only vectors whose
+    list is among each query's ``nprobe`` closest lists are scored (exact
+    cosine re-rank), then per-query local top-k + tiny merge.
+
+    With ``nprobe == IVF_NLIST`` every list is probed and the result equals
+    brute force exactly — pytest pins that identity plus recall at
+    ``nprobe = nlist/2`` (rows-only for the driver, like ann_topk_lsh).
+    """
+    cent = _ivf_centroids(sf_dir)
+    qids, qmat = _query_matrix(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # per query: the nprobe nearest lists
+    q_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    bcast = ray.put((qids, qn, cent, q_lists))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        qids_, qn_, cent_, q_lists_ = get_object(bcast)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(mn @ cent_.T, axis=1)  # list id per vector
+        sims = qn_ @ mn.T  # (Q, n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            probe_mask = np.isin(assign, q_lists_[qi])
+            probe_mask &= vids != qids_[qi]
+            idx = np.flatnonzero(probe_mask)
+            if len(idx) == 0:
+                continue
+            s = sims[qi, idx]
+            k = min(ANN_K, len(idx))
+            order = np.lexsort((vids[idx], -s))[:k]
+            for t in order:
+                out_q.append(int(qids_[qi]))
+                out_v.append(int(vids[idx[t]]))
+                out_s.append(float(s[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(ANN_K)
+        return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(probe, batch_format="pyarrow", batch_size=2048)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _to_table(out)
+
+
 def emb_near_dup_pairs(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup: ALL pairs with cosine >= COSINE_TAU.
 

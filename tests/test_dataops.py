@@ -182,3 +182,44 @@ def test_emb_threshold_lsh_matches_bruteforce_on_planted_clusters():
     got_tbl = emb_threshold_lsh(ds, tau=tau)
     got = set(zip(got_tbl.column("a").to_pylist(), got_tbl.column("b").to_pylist()))
     assert got == want
+
+
+def test_ann_ivf_full_probe_equals_bruteforce_and_partial_recall():
+    """IVF with nprobe == nlist probes every list -> must equal brute force
+    exactly; at nprobe = nlist/2 it keeps useful recall and determinism."""
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        ANN_K,
+        IVF_NLIST,
+        ann_topk,
+        ann_topk_ivf,
+    )
+
+    brute = ann_topk(SF)
+    want = {}
+    for q, v in zip(
+        brute.column("query_id").to_pylist(), brute.column("vec_id").to_pylist()
+    ):
+        want.setdefault(q, set()).add(v)
+
+    full = ann_topk_ivf(SF, nprobe=IVF_NLIST)
+    got_full = {}
+    for q, v in zip(
+        full.column("query_id").to_pylist(), full.column("vec_id").to_pylist()
+    ):
+        got_full.setdefault(q, set()).add(v)
+    assert got_full == want
+
+    half = ann_topk_ivf(SF, nprobe=IVF_NLIST // 2)
+    again = ann_topk_ivf(SF, nprobe=IVF_NLIST // 2)
+    assert half.sort_by([("query_id", "ascending"), ("vec_id", "ascending")]).equals(
+        again.sort_by([("query_id", "ascending"), ("vec_id", "ascending")])
+    )
+    got_half = {}
+    for q, v in zip(
+        half.column("query_id").to_pylist(), half.column("vec_id").to_pylist()
+    ):
+        got_half.setdefault(q, set()).add(v)
+    recall = sum(len(want[q] & got_half.get(q, set())) for q in want) / (
+        len(want) * ANN_K
+    )
+    assert recall >= 0.3  # isotropic data, half the lists probed
