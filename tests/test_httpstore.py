@@ -131,3 +131,66 @@ def test_http_backend_through_map_batches_stages(http_site, ray_session):
     rows = payload.take_all()
     assert len(rows) == 1
     assert rows[0]["w"] == 6 and rows[0]["h"] == 4 and rows[0]["fmt"] == "png"
+
+
+def test_full_crawl_over_http_backend(http_site, ray_session, tmp_path):
+    """End-to-end BFS crawl with store_backend="http": seeds + robots come
+    from a fixture dir, pages and images from the live (in-process) HTTP
+    server — discovery, dedup, politeness scheduling, decode and the
+    partitioned payload sink all run unchanged."""
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.config import CrawlConfig
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = str(tmp_path / "http_fixture")
+    import os
+
+    os.makedirs(fixture)
+    seed = f"{http_site}/"
+    pq.write_table(
+        pa.table(
+            {
+                "url": [seed],
+                "seed_rank": pa.array([0], pa.int64()),
+                "canon": [seed],
+            }
+        ),
+        os.path.join(fixture, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["127.0.0.1"],
+                "disallow": pa.array([[]], pa.list_(pa.string())),
+                "crawl_delay_ms": pa.array([1000], pa.int32()),
+                "fetch_fails": pa.array([False], pa.bool_()),
+            }
+        ),
+        os.path.join(fixture, "robots.parquet"),
+    )
+
+    result = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, store_backend="http"),
+        work_dir=str(tmp_path / "work"),
+    )
+    # BFS: / -> {/a.html, /b.html, /missing.html}; /a.html -> / (seen)
+    hist = result.frontier_history()
+    seen = set(hist.column("canon").to_pylist())
+    assert seen == {
+        seed,
+        f"{http_site}/a.html",
+        f"{http_site}/b.html",
+        f"{http_site}/missing.html",
+    }
+    m_total = {
+        "fetched": sum(m["urls_fetched"] for m in result.metrics),
+        "failed": sum(m["urls_failed"] for m in result.metrics),
+    }
+    assert m_total["fetched"] == 4 and m_total["failed"] == 1  # /missing 404s
+    payload = result.payload_dataset().to_pandas()
+    # one distinct image (referenced by / and /a.html, deduped), decoded
+    assert len(payload) == 1
+    assert payload.iloc[0]["w"] == 6 and payload.iloc[0]["h"] == 4
+    assert payload.iloc[0]["caption"] == "first image"
