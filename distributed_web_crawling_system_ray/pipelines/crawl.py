@@ -74,6 +74,14 @@ from distributed_web_crawling_system_ray.state.scheduler import (
 from distributed_web_crawling_system_ray.state.seen import SeenPool
 
 
+def _run_guarded(fn, out: dict) -> None:
+    """Thread target: capture any exception for re-raise on the main thread."""
+    try:
+        fn()
+    except BaseException as e:  # noqa: BLE001 — transported, not swallowed
+        out["error"] = e
+
+
 def _empty_schedule() -> pa.Table:
     return pa.table(
         {
@@ -461,109 +469,116 @@ def run_crawl(
         filtered_cands = img_cands.map_batches(
             _img_prefilter, batch_format="pyarrow"
         )
-        if frontier.num_rows <= cfg.driver_partition_limit:
-            # driver-sized round: materialize the metadata-sized candidate
-            # rows, dedup + admit once on the driver, then stream the decode
-            cparts = [
-                t for t in ray.get(filtered_cands.to_arrow_refs()) if t.num_rows
-            ]
-            if cparts:
-                cand_tbl = dedup_first_by_hash(
-                    pa.concat_tables(cparts).combine_chunks()
-                )
-                newm = ~image_seen.check_and_add(
-                    cand_tbl.column("url_hash").to_numpy(zero_copy_only=False)
-                )
-                cand_tbl = cand_tbl.filter(pa.array(newm, pa.bool_()))
-            else:
-                cand_tbl = pa.table(
-                    {
-                        "canon": pa.array([], pa.string()),
-                        "url_hash": pa.array([], pa.uint64()),
-                        "host": pa.array([], pa.string()),
-                    }
-                )
-            step = cfg.decode_batch_size
-            cand_chunks = [
-                cand_tbl.slice(o, min(step, cand_tbl.num_rows - o))
-                for o in range(0, cand_tbl.num_rows, step)
-            ] or [cand_tbl]
-            payload_ds = ray.data.from_arrow(cand_chunks).map_batches(
-                decode_images,
-                fn_kwargs=store_kwargs,
-                batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
-            )
-            write_payload(payload_ds, payload_dir)
-            n_images = sum(
-                pq.read_metadata(os.path.join(payload_dir, f)).num_rows
-                for f in os.listdir(payload_dir)
-                if f.endswith(".parquet")
-            )
-        else:
-            # cluster-scale round: Dataset-native intra-round set-dedup
-            # (bounded hash partition), stream decode+write, then admit the
-            # actually-written ids once from the sink's image_id column
-            # (url_hash = high 64 bits of md5 = image_id[:16]).
-            P = cfg.dedup_partitions
+        small_round = frontier.num_rows <= cfg.driver_partition_limit
 
-            def _cpart(batch: pa.Table) -> pa.Table:
-                part = (
-                    batch.column("url_hash").to_numpy(zero_copy_only=False)
-                    % np.uint64(P)
-                ).astype(np.int32)
-                return batch.append_column("part", pa.array(part, pa.int32()))
+        # The payload and frontier branches are independent consumers of the
+        # materialized fetch results — run the payload decode+write on a
+        # driver thread so it overlaps the link dedup/admission (both just
+        # submit Ray work; the two branches touch disjoint seen pools).
+        payload_out: dict = {}
 
-            payload_ds = (
-                filtered_cands.map_batches(_cpart, batch_format="pyarrow")
-                .groupby("part")
-                .map_groups(dedup_first_by_hash, batch_format="pyarrow")
-                .map_batches(
+        def _payload_branch() -> None:
+            if small_round:
+                # driver-sized round: materialize the metadata-sized
+                # candidate rows, dedup + admit once on the driver, then
+                # stream the decode
+                cparts = [
+                    t
+                    for t in ray.get(filtered_cands.to_arrow_refs())
+                    if t.num_rows
+                ]
+                if cparts:
+                    cand_tbl = dedup_first_by_hash(
+                        pa.concat_tables(cparts).combine_chunks()
+                    )
+                    newm = ~image_seen.check_and_add(
+                        cand_tbl.column("url_hash").to_numpy(zero_copy_only=False)
+                    )
+                    cand_tbl = cand_tbl.filter(pa.array(newm, pa.bool_()))
+                else:
+                    cand_tbl = pa.table(
+                        {
+                            "canon": pa.array([], pa.string()),
+                            "url_hash": pa.array([], pa.uint64()),
+                            "host": pa.array([], pa.string()),
+                        }
+                    )
+                step = cfg.decode_batch_size
+                cand_chunks = [
+                    cand_tbl.slice(o, min(step, cand_tbl.num_rows - o))
+                    for o in range(0, cand_tbl.num_rows, step)
+                ] or [cand_tbl]
+                payload_ds = ray.data.from_arrow(cand_chunks).map_batches(
                     decode_images,
                     fn_kwargs=store_kwargs,
                     batch_format="pyarrow",
                     batch_size=cfg.decode_batch_size,
                 )
-            )
-            write_payload(payload_ds, payload_dir)
-            written = [
-                os.path.join(payload_dir, f)
-                for f in os.listdir(payload_dir)
-                if f.endswith(".parquet")
-            ]
-            n_images = 0
-            wkeys: list[np.ndarray] = []
-            for f in written:
-                ids = pq.read_table(f, columns=["image_id"]).column("image_id")
-                n_images += len(ids)
-                wkeys.append(
-                    np.fromiter(
-                        (int(s[:16], 16) for s in ids.to_pylist()),
-                        dtype=np.uint64,
-                        count=len(ids),
+                write_payload(payload_ds, payload_dir)
+                payload_out["n_images"] = sum(
+                    pq.read_metadata(os.path.join(payload_dir, f)).num_rows
+                    for f in os.listdir(payload_dir)
+                    if f.endswith(".parquet")
+                )
+            else:
+                # cluster-scale round: Dataset-native intra-round set-dedup
+                # (bounded hash partition), stream decode+write, then admit
+                # the actually-written ids once from the sink's image_id
+                # column (url_hash = high 64 bits of md5 = image_id[:16]).
+                P = cfg.dedup_partitions
+
+                def _cpart(batch: pa.Table) -> pa.Table:
+                    part = (
+                        batch.column("url_hash").to_numpy(zero_copy_only=False)
+                        % np.uint64(P)
+                    ).astype(np.int32)
+                    return batch.append_column("part", pa.array(part, pa.int32()))
+
+                payload_ds = (
+                    filtered_cands.map_batches(_cpart, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(dedup_first_by_hash, batch_format="pyarrow")
+                    .map_batches(
+                        decode_images,
+                        fn_kwargs=store_kwargs,
+                        batch_format="pyarrow",
+                        batch_size=cfg.decode_batch_size,
                     )
                 )
-            if wkeys:
-                image_seen.check_and_add(np.concatenate(wkeys))
-        _tick("payload", marks, tmark)
+                write_payload(payload_ds, payload_dir)
+                written = [
+                    os.path.join(payload_dir, f)
+                    for f in os.listdir(payload_dir)
+                    if f.endswith(".parquet")
+                ]
+                n_images = 0
+                wkeys: list[np.ndarray] = []
+                for f in written:
+                    ids = pq.read_table(f, columns=["image_id"]).column("image_id")
+                    n_images += len(ids)
+                    wkeys.append(
+                        np.fromiter(
+                            (int(s[:16], 16) for s in ids.to_pylist()),
+                            dtype=np.uint64,
+                            count=len(ids),
+                        )
+                    )
+                if wkeys:
+                    image_seen.check_and_add(np.concatenate(wkeys))
+                payload_out["n_images"] = n_images
+
+        import threading
+
+        payload_thread = threading.Thread(target=_run_guarded, args=(_payload_branch, payload_out))
+        payload_thread.start()
 
         # --- frontier branch: outlinks -> canonicalize (+batch combiner) ->
-        # explicit hash-partition dedup -> seen-shard anti-join
-        cands = results.map_batches(extract_links, batch_format="pyarrow")
-        P = cfg.dedup_partitions
-
-        def _part(batch: pa.Table) -> pa.Table:
-            part = (
-                batch.column("url_hash").to_numpy() % np.uint64(P)
-            ).astype(np.int32)
-            return batch.append_column("part", pa.array(part, pa.int32()))
-
-        deduped = (
-            cands.map_batches(_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(dedup_min_rank, batch_format="pyarrow")
-        )
-
+        # pure seen prefilter -> first-seen dedup -> exactly-once admission.
+        # The contains() prefilter runs BEFORE the dedup so revisited URLs
+        # (the bulk of extracted links) never enter the exchange; min-rank
+        # dedup then runs driver-side for driver-sized rounds (no shuffle —
+        # the survivors are materialized here anyway) or through the bounded
+        # groupby(url_hash % P) hash partition at cluster scale.
         def _seen_prefilter(batch: pa.Table) -> pa.Table:
             """PURE contains() anti-join (safe under Ray task retry — see the
             payload branch note); admission happens once below, driver-side."""
@@ -573,10 +588,27 @@ def run_crawl(
             new = ~seen.contains(keys)
             return batch.filter(pa.array(new, pa.bool_()))
 
-        new_frontier_ds = deduped.map_batches(
-            _seen_prefilter, batch_format="pyarrow"
-        )
-        nf_refs = ray.get(new_frontier_ds.to_arrow_refs())
+        cands = results.map_batches(
+            extract_links, batch_format="pyarrow"
+        ).map_batches(_seen_prefilter, batch_format="pyarrow")
+
+        if small_round:
+            nf_refs = ray.get(cands.to_arrow_refs())
+        else:
+            P = cfg.dedup_partitions
+
+            def _part(batch: pa.Table) -> pa.Table:
+                part = (
+                    batch.column("url_hash").to_numpy() % np.uint64(P)
+                ).astype(np.int32)
+                return batch.append_column("part", pa.array(part, pa.int32()))
+
+            deduped = (
+                cands.map_batches(_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(dedup_min_rank, batch_format="pyarrow")
+            )
+            nf_refs = ray.get(deduped.to_arrow_refs())
         _tick("links", marks, tmark)
         nf_refs = [t for t in nf_refs if t.num_rows]
         base_cols = ["url", "canon", "url_hash", "host", "depth", "rank_path"]
@@ -584,8 +616,12 @@ def run_crawl(
             cand_frontier = pa.concat_tables(
                 [t.select(base_cols) for t in nf_refs]
             ).combine_chunks()
-            # exactly-once first-seen admission (the dedup shuffle above
-            # guarantees one row per url_hash, so no intra-call collisions)
+            # one row per url_hash with the minimum (depth, rank_path): a
+            # no-op re-check after the groupby path, the actual dedup on the
+            # driver path
+            cand_frontier = dedup_min_rank(cand_frontier)
+            # exactly-once first-seen admission (post-dedup, so no
+            # intra-call collisions)
             newm = ~seen.check_and_add(
                 cand_frontier.column("url_hash").to_numpy(zero_copy_only=False)
             )
@@ -600,6 +636,12 @@ def run_crawl(
                 pa.array(verdicts == DEFERRED, pa.bool_())
             ).select(base_cols)
             new_frontier = pa.concat_tables([new_frontier, deferred_tbl])
+
+        payload_thread.join()
+        if "error" in payload_out:
+            raise payload_out["error"]
+        n_images = payload_out["n_images"]
+        _tick("payload_join", marks, tmark)
 
         m = {
             "round": rnd,

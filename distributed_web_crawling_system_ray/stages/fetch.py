@@ -177,17 +177,20 @@ def extract_links(batch: pa.Table) -> pa.Table:
 def dedup_min_rank(group: pa.Table) -> pa.Table:
     """Partition-wise deterministic first-seen: one row per url_hash, the one
     with minimum (depth, rank_path) — reproduces the oracle's earliest-
-    discovery tie-break regardless of block arrival order."""
-    hashes = group.column("url_hash").to_pylist()
-    depths = group.column("depth").to_pylist()
-    ranks = group.column("rank_path").to_pylist()
-    best: dict[int, int] = {}
-    for i, h in enumerate(hashes):
-        j = best.get(h)
-        if j is None or (depths[i], ranks[i]) < (depths[j], ranks[j]):
-            best[h] = i
-    idx = sorted(best.values())
-    return group.take(pa.array(idx, pa.int64()))
+    discovery tie-break regardless of block arrival order.
+
+    Vectorized: sort by (url_hash, depth, rank_path), then the first row per
+    hash in sorted order IS the minimum; ``np.unique`` finds it without a
+    Python loop (this also runs driver-side on whole-round candidate sets).
+    """
+    if group.num_rows == 0:
+        return group
+    t = group.sort_by(
+        [("url_hash", "ascending"), ("depth", "ascending"), ("rank_path", "ascending")]
+    )
+    keys = t.column("url_hash").to_numpy(zero_copy_only=False)
+    _, first = np.unique(keys, return_index=True)
+    return t.take(pa.array(np.sort(first), pa.int64()))
 
 
 def dedup_first_by_hash(group: pa.Table) -> pa.Table:
