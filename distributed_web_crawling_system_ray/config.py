@@ -25,17 +25,17 @@ class CrawlConfig:
     """
 
     user_agent: str = "RayCrawlBot/1.0"
-    max_depth: int = 6
+    # depth cap: links discovered beyond this depth are not enqueued (the
+    # reference crawls unbounded; the oracle mirrors this knob for tests)
+    max_depth: int = 1 << 30
     max_rounds: int = 64
-    default_crawl_delay_ms: int = 1000     # v3 fixed 1s (crawler_node.py:297)
-    conservative_crawl_delay_ms: int = 3000  # v1 robots-fetch-failed fallback
     fetch_timeout_s: float = 10.0          # crawler_node.py:299
-    robots_ttl_s: float = 3600.0           # crawler_node.py:29
+    # crawl-delay policy constants (v3 fixed 1 s, v1 conservative 3 s
+    # fallback) live with the robots parser: state/robots.py
+    # DEFAULT_DELAY_MS / CONSERVATIVE_DELAY_MS.
 
     # sharding / parallelism
     seen_shards: int = 8        # UrlSeenShard actors (url_hash % K routing)
-    scheduler_shards: int = 4   # HostSchedulerShard actors (hash(host) % M)
-    fetch_concurrency: int = 8  # fetch/decode actor pool size
     fetch_batch_size: int = 256
     # decode batch sizing: rows are wide (binary image bytes) — size by
     # payload bytes, not row count, when images are large.  512 x ~60 KB
@@ -69,8 +69,5 @@ class CrawlConfig:
     # deployment seam; exercised by tests/test_httpstore.py against an
     # in-process fixture server)
     store_backend: str = "synthetic"
-
-    # checkpointing
-    checkpoint_dir: str | None = None
 
     extra: dict = field(default_factory=dict)

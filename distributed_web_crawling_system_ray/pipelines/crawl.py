@@ -438,9 +438,13 @@ def run_crawl(
         # retry that consulted its first attempt's check_and_add inserts
         # would filter its own rows out and silently drop images.  The
         # seen-set *mutation* therefore happens exactly once, driver-side.
+        _md = cfg.max_depth
         img_cands = results.map_batches(
-            extract_image_candidates, batch_format="pyarrow"
-        )
+            # a page AT the depth cap fetches but yields neither links nor
+            # images (oracle.crawl_oracle max_depth semantics)
+            lambda t: t.filter(pc.less(t["depth"], _md)),
+            batch_format="pyarrow",
+        ).map_batches(extract_image_candidates, batch_format="pyarrow")
 
         def _img_prefilter(batch: pa.Table) -> pa.Table:
             """Pure contains() anti-join vs prior rounds + robots gate."""
@@ -588,9 +592,21 @@ def run_crawl(
             new = ~seen.contains(keys)
             return batch.filter(pa.array(new, pa.bool_()))
 
-        cands = results.map_batches(
-            extract_links, batch_format="pyarrow"
-        ).map_batches(_seen_prefilter, batch_format="pyarrow")
+        max_depth = cfg.max_depth
+
+        def _depth_gate(batch: pa.Table) -> pa.Table:
+            """Depth cap: children beyond cfg.max_depth never enqueue
+            (matches oracle.crawl_oracle's max_depth semantics — a page AT
+            the cap is fetched but not expanded)."""
+            if batch.num_rows == 0:
+                return batch
+            return batch.filter(pc.less_equal(batch.column("depth"), max_depth))
+
+        cands = (
+            results.map_batches(extract_links, batch_format="pyarrow")
+            .map_batches(_depth_gate, batch_format="pyarrow")
+            .map_batches(_seen_prefilter, batch_format="pyarrow")
+        )
 
         if small_round:
             nf_refs = ray.get(cands.to_arrow_refs())

@@ -26,7 +26,7 @@ def crawl_t1(ray_session, tmp_path_factory):
     from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
 
     fixture = build_fixture("t1")
-    cfg = CrawlConfig(seen_shards=2, scheduler_shards=2, fetch_concurrency=2)
+    cfg = CrawlConfig(seen_shards=2)
     work = str(tmp_path_factory.mktemp("crawl_t1"))
     result = run_crawl(fixture, cfg, work_dir=work)
     oracle = crawl_oracle(WebStore(fixture))
@@ -185,6 +185,52 @@ def test_groupby_exchange_path_matches_oracle(ray_session, tmp_path_factory):
         )
     )
     assert [c for _, _, c in rows] == [o["canon_url"] for o in oracle.order]
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
+def test_max_depth_cap_matches_oracle(ray_session, tmp_path_factory):
+    """cfg.max_depth stops link expansion beyond the cap, mirroring the
+    oracle's max_depth semantics (a page AT the cap fetches, never expands)."""
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_depth_cap"))
+    result = run_crawl(
+        fixture, CrawlConfig(seen_shards=2, max_depth=1), work_dir=work
+    )
+    oracle = crawl_oracle(WebStore(fixture), max_depth=1)
+    full_oracle = crawl_oracle(WebStore(fixture))
+    hist = result.frontier_history()
+    assert set(hist.column("canon").to_pylist()) == set(oracle.seen.keys())
+    assert max(hist.column("depth").to_pylist()) <= 1
+    assert len(oracle.seen) < len(full_oracle.seen)  # the cap actually bites
+    payload = result.payload_dataset().to_pandas()
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
+def test_per_host_budget_deferral_preserves_final_sets(
+    ray_session, tmp_path_factory
+):
+    """A tiny per-host round budget forces DEFERRED verdicts (hot-host skew
+    control); deferred rows re-enter later rounds, so the FINAL seen and
+    payload sets still equal the unbudgeted oracle (the strict per-round
+    order contract is explicitly relaxed under a finite budget)."""
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_budget"))
+    result = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, per_host_round_budget=2),
+        work_dir=work,
+    )
+    assert sum(m["urls_deferred"] for m in result.metrics) > 0  # non-vacuous
+    oracle = crawl_oracle(WebStore(fixture))
+    hist = result.frontier_history()
+    # frontier history may repeat deferred rows across rounds; compare sets
+    assert set(hist.column("canon").to_pylist()) == set(oracle.seen.keys())
     payload = result.payload_dataset().to_pandas()
     assert payload["image_id"].is_unique
     assert set(payload["image_id"]) == set(oracle.images.keys())

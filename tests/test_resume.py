@@ -17,10 +17,10 @@ def resumed_crawl(ray_session, tmp_path_factory):
 
     fixture = build_fixture("t1")
     work = str(tmp_path_factory.mktemp("crawl_resume"))
-    cfg_partial = CrawlConfig(seen_shards=2, scheduler_shards=2, max_rounds=2)
+    cfg_partial = CrawlConfig(seen_shards=2, max_rounds=2)
     partial = run_crawl(fixture, cfg_partial, work_dir=work)
     assert partial.rounds == 2  # stopped mid-crawl ("killed after round k")
-    cfg_full = CrawlConfig(seen_shards=2, scheduler_shards=2)
+    cfg_full = CrawlConfig(seen_shards=2)
     result = run_crawl(fixture, cfg_full, work_dir=work, resume=True)
     oracle = crawl_oracle(WebStore(fixture))
     return fixture, result, oracle
