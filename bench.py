@@ -125,13 +125,17 @@ def run_bench(num_cpus: int) -> dict:
     }
 
     from distributed_web_crawling_system_ray.pipelines import dataops
+    from distributed_web_crawling_system_ray.pipelines import search as searchops
 
     for name, fn in (
         ("doc_exact_dedup", dataops.doc_exact_dedup),
         ("doc_near_dup_pairs", dataops.doc_near_dup_pairs),
         ("doc_quality_counts", dataops.doc_quality_counts),
         ("ann_topk", dataops.ann_topk),
+        ("ann_topk_ivf", dataops.ann_topk_ivf),
         ("emb_near_dup_pairs", dataops.emb_near_dup_pairs),
+        ("search_topk", searchops.search_topk),
+        ("image_phash_near_dup", dataops.image_phash_near_dup),
     ):
         t0 = time.time()
         fn(sf_dir)

@@ -75,7 +75,7 @@ def crawl_payload_meta(sf_dir: str) -> pa.Table:
     )
     import ray
 
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(parts) if parts else None
 
 

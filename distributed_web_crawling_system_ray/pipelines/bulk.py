@@ -97,7 +97,7 @@ def _schedule_phase(chunks, store_refs, cfg) -> list[pa.Table]:
     ).map_batches(
         lambda t: t.filter(pc.equal(t["verdict"], ALLOWED)), batch_format="pyarrow"
     )
-    parts = [t for t in ray.get(schedule.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(schedule.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return []
     allowed = pa.concat_tables(parts).combine_chunks()

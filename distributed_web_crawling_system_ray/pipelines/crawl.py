@@ -3,12 +3,16 @@
 Restates the whole reference master/worker system (SURVEY §3.1-3.3) as an
 iterative sequence of bounded Dataset pipelines:
 
-    round k:  frontier ──groupby(host)──> scheduler actor pool (robots gate +
-              politeness virtual-time PQ) ──filter allowed──> fetch actor pool
-              ──┬─> flat_map outlinks -> canonicalize -> partitioned min-rank
-              │    dedup -> seen-shard anti-join -> round k+1 frontier
-              └─> flat_map image refs -> image-seen anti-join -> robots gate
-                   -> decode actor pool -> write payload partition round=k
+    round k:  frontier ──host exchange──> politeness scheduler (robots gate +
+              virtual-time slots) ──filter allowed──> fetch (map stage)
+              ──┬─> flat_map outlinks -> canonicalize -> pure seen-shard
+              │    contains() prefilter -> min-rank dedup (driver-side under
+              │    the partition limit, groupby(url_hash%P) above) ->
+              │    exactly-once driver admission -> round k+1 frontier
+              └─> flat_map image refs -> pure image-seen contains() + robots
+                   gate -> set-dedup + exactly-once admission -> decode ->
+                   write payload partition round=k   (runs on a driver
+                   thread, overlapped with the frontier branch)
 
 The feedback loop (extracted URLs re-entering the queue,
 ``master/master_node.py:167-173``) lives in this driver loop; each round is a
@@ -488,7 +492,7 @@ def run_crawl(
                 # stream the decode
                 cparts = [
                     t
-                    for t in ray.get(filtered_cands.to_arrow_refs())
+                    for t in ray.get(filtered_cands.materialize().to_arrow_refs())
                     if t.num_rows
                 ]
                 if cparts:
@@ -609,7 +613,7 @@ def run_crawl(
         )
 
         if small_round:
-            nf_refs = ray.get(cands.to_arrow_refs())
+            nf_refs = ray.get(cands.materialize().to_arrow_refs())
         else:
             P = cfg.dedup_partitions
 
@@ -624,7 +628,7 @@ def run_crawl(
                 .groupby("part")
                 .map_groups(dedup_min_rank, batch_format="pyarrow")
             )
-            nf_refs = ray.get(deduped.to_arrow_refs())
+            nf_refs = ray.get(deduped.materialize().to_arrow_refs())
         _tick("links", marks, tmark)
         nf_refs = [t for t in nf_refs if t.num_rows]
         base_cols = ["url", "canon", "url_hash", "host", "depth", "rank_path"]

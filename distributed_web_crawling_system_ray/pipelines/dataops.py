@@ -68,7 +68,11 @@ def _h64_arr(strings: list[str]) -> np.ndarray:
 def _to_table(ds_or_tbl) -> pa.Table:
     if isinstance(ds_or_tbl, pa.Table):
         return ds_or_tbl
-    parts = [t for t in ray.get(ds_or_tbl.to_arrow_refs()) if t.num_rows]
+    # materialize() first: to_arrow_refs() on a lazy Dataset probes the
+    # schema with a limit-1 plan that RE-EXECUTES the whole upstream
+    # pipeline (observed in ray-data logs — doubled every query's wall time)
+    mat = ds_or_tbl.materialize()
+    parts = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(parts) if parts else None
 
 
@@ -312,24 +316,28 @@ def doc_lsh_candidates(sf_dir: str) -> pa.Table:
         .groupby(["band_id", "band_hash"])
         .map_groups(pairs, batch_format="pyarrow")
     )
-
-    def dedup(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        key = (
-            batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-            * np.uint64(1_000_003)
-            + batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    # cross-band dedup happens driver-side: the candidate pair list is the
+    # small side BY LSH CONSTRUCTION (the verify stage already broadcasts it
+    # whole via ray.put), so a second shuffle just to dedup it is pure
+    # overhead — np.unique over the materialized (a, b) rows instead
+    out = _to_table(cand)
+    if out is None or out.num_rows == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
-        return batch.append_column("pair_key", pa.array(key, pa.uint64()))
-
-    keyed = cand.map_batches(add_key, batch_format="pyarrow")
-    deduped = hash_partition_apply(keyed, "pair_key", dedup, P=32)
-    out = _to_table(deduped)
-    return out.select(["a", "b"]) if out is not None else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    ab = np.stack(
+        [
+            out.column("a").to_numpy(zero_copy_only=False),
+            out.column("b").to_numpy(zero_copy_only=False),
+        ],
+        axis=1,
+    )
+    uniq = np.unique(ab, axis=0)
+    return pa.table(
+        {
+            "a": pa.array(uniq[:, 0], pa.int64()),
+            "b": pa.array(uniq[:, 1], pa.int64()),
+        }
     )
 
 

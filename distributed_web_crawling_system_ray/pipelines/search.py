@@ -128,7 +128,7 @@ def _df_and_n(tf_ds: "ray.data.Dataset", q: int) -> tuple[np.ndarray, int]:
     parts = [
         t
         for t in ray.get(
-            tf_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+            tf_ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -170,7 +170,7 @@ def search_topk(sf_dir: str) -> pa.Table:
     parts = [
         t
         for t in ray.get(
-            tf_ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
+            tf_ds.map_batches(local_topk, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -196,7 +196,7 @@ def search_topk(sf_dir: str) -> pa.Table:
         columns=["doc_id", "text"],
         filter=pc.field("doc_id").isin(ids),
     )
-    snip_parts = [t for t in ray.get(snip_ds.to_arrow_refs()) if t.num_rows]
+    snip_parts = [t for t in ray.get(snip_ds.materialize().to_arrow_refs()) if t.num_rows]
     snips: dict[int, str] = {}
     for t in snip_parts:
         for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
@@ -225,7 +225,7 @@ def search_and_terms(sf_dir: str) -> pa.Table:
     parts = [
         t
         for t in ray.get(
-            tf_ds.map_batches(all_terms, batch_format="pyarrow").to_arrow_refs()
+            tf_ds.map_batches(all_terms, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -263,7 +263,7 @@ def search_term_df(sf_dir: str) -> pa.Table:
         .groupby("term")
         .aggregate(Sum("pdf", alias_name="df"))
     )
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     return (
         pa.concat_tables(parts)
         if parts
