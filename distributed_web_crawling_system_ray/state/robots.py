@@ -77,3 +77,126 @@ class RobotsPolicies:
 
     def delay_ms(self, host: str) -> int:
         return self.policy(host).crawl_delay_ms
+
+
+# --------------------------------------------------- live robots.txt (A2)
+
+
+def parse_robots_txt(
+    text: str, user_agent: str = "*"
+) -> tuple[tuple[str, ...], int | None]:
+    """Parse a robots.txt body into (disallow prefixes, crawl_delay_ms|None).
+
+    Implements the robots exclusion standard subset the reference relies on
+    (``RobotFileParser.can_fetch`` + ``crawl_delay``,
+    crawler/crawler_node.py:37-55 / archive/crawler_node.py:58-66): grouped
+    ``User-agent`` records, ``Disallow`` path prefixes, ``Crawl-delay``
+    seconds.  The most specific matching group wins (an agent token contained
+    in our UA beats ``*``); ``Allow`` lines are ignored — strictly more
+    conservative than longest-match Allow/Disallow resolution.
+    """
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    agents: list[str] = []
+    rules: list[str] = []
+    delay: float | None = None
+    fresh = True  # a User-agent line after rules starts a new group
+
+    def close() -> None:
+        nonlocal agents, rules, delay
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay = [], [], None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not fresh:
+                close()
+                fresh = True
+            agents.append(val.lower())
+        elif key == "disallow":
+            fresh = False
+            if val:
+                rules.append(val)
+        elif key == "crawl-delay":
+            fresh = False
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    close()
+
+    best: tuple[list[str], float | None] | None = None
+    star: tuple[list[str], float | None] | None = None
+    for ag, ru, dl in groups:
+        if any(a != "*" and a in ua for a in ag):
+            best = (ru, dl)
+            break
+        if star is None and "*" in ag:
+            star = (ru, dl)
+    chosen = best or star
+    if chosen is None:
+        return (), None
+    ru, dl = chosen
+    return tuple(ru), None if dl is None else int(dl * 1000)
+
+
+def fetch_robots_http(
+    hosts: list[str],
+    user_agent: str = "RayCrawlBot/1.0",
+    timeout_s: float = 10.0,
+    scheme: str = "http",
+) -> pa.Table:
+    """Fetch + parse robots.txt for each host over live HTTP; returns the
+    same table schema the fixture provides, so ``RobotsPolicies.from_table``
+    and the whole scheduler run unchanged on a live deployment.
+
+    Reference semantics (crawler/crawler_node.py:37-55): 2xx -> parse;
+    4xx (no robots.txt) -> allow-all with the default delay; network error /
+    5xx -> allow-all but CONSERVATIVE delay (``fetch_fails=True``, the v1
+    3 s fallback).  This is the driver-side small-side build: one row per
+    host, broadcast once via ray.put like the fixture table.
+    """
+    import requests
+
+    session = requests.Session()
+    session.headers["User-Agent"] = user_agent
+    out_h: list[str] = []
+    out_d: list[list[str]] = []
+    out_ms: list[int] = []
+    out_f: list[bool] = []
+    for host in hosts:
+        fails = False
+        dis: tuple[str, ...] = ()
+        delay_ms: int | None = None
+        try:
+            r = session.get(f"{scheme}://{host}/robots.txt", timeout=timeout_s)
+            if 200 <= r.status_code < 300:
+                dis, delay_ms = parse_robots_txt(r.text, user_agent)
+            elif r.status_code >= 500:
+                fails = True
+            # 4xx: no robots.txt -> allow-all, default delay
+        except Exception:
+            fails = True
+        out_h.append(host)
+        out_d.append(list(dis))
+        out_ms.append(
+            delay_ms
+            if delay_ms is not None
+            else (CONSERVATIVE_DELAY_MS if fails else DEFAULT_DELAY_MS)
+        )
+        out_f.append(fails)
+    return pa.table(
+        {
+            "host": pa.array(out_h, pa.string()),
+            "disallow": pa.array(out_d, pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array(out_ms, pa.int32()),
+            "fetch_fails": pa.array(out_f, pa.bool_()),
+        }
+    )

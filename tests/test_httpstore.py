@@ -197,3 +197,94 @@ def test_full_crawl_over_http_backend(http_site, ray_session, tmp_path):
     # the image decode land on the same worker process (documented in
     # sources/httpstore.py), empty otherwise
     assert payload.iloc[0]["caption"] in ("", "first image")
+
+
+ROBOTS_TXT = (
+    "# fixture robots\n"
+    "User-agent: RayCrawlBot\n"
+    "Disallow: /b.html\n"
+    "Crawl-delay: 2\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+PAGES["/robots.txt"] = ROBOTS_TXT
+
+
+def test_parse_robots_txt_groups_and_ua_matching():
+    from distributed_web_crawling_system_ray.state.robots import parse_robots_txt
+
+    dis, delay = parse_robots_txt(ROBOTS_TXT, "RayCrawlBot/1.0")
+    assert dis == ("/b.html",) and delay == 2000  # specific group wins
+    dis, delay = parse_robots_txt(ROBOTS_TXT, "SomeOtherBot/3.1")
+    assert dis == ("/",) and delay is None  # falls back to the * group
+    assert parse_robots_txt("", "x") == ((), None)
+    # multiple agents sharing one group; comments stripped
+    dis, delay = parse_robots_txt(
+        "User-agent: a\nUser-agent: b\nDisallow: /x  # inline\nCrawl-delay: 1.5\n",
+        "B/2",
+    )
+    assert dis == ("/x",) and delay == 1500
+
+
+def test_live_robots_fetch_and_crawl_honors_disallow(
+    http_site, ray_session, tmp_path
+):
+    """fetch_robots_http builds the same robots table the fixture provides;
+    a full HTTP crawl with it never fetches the disallowed path and applies
+    the robots crawl delay in its schedule."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.config import CrawlConfig
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+    from distributed_web_crawling_system_ray.state.robots import (
+        RobotsPolicies,
+        fetch_robots_http,
+    )
+
+    host_port = http_site.split("://", 1)[1]
+    host = host_port.split(":")[0]
+    # fetch_robots_http takes host[:port] authority strings for the URL but
+    # the politeness/robots key is the bare host
+    robots = fetch_robots_http([host_port], user_agent="RayCrawlBot/1.0")
+    robots = robots.set_column(
+        0, "host", pa.array([host], pa.string())
+    )
+    pol = RobotsPolicies.from_table(robots)
+    assert not pol.allows(host, f"{http_site}/b.html")
+    assert pol.allows(host, f"{http_site}/a.html")
+    assert pol.delay_ms(host) == 2000
+
+    fixture = str(tmp_path / "live_fixture")
+    os.makedirs(fixture)
+    seed = f"{http_site}/"
+    pq.write_table(
+        pa.table(
+            {
+                "url": [seed],
+                "seed_rank": pa.array([0], pa.int64()),
+                "canon": [seed],
+            }
+        ),
+        os.path.join(fixture, "seeds.parquet"),
+    )
+    pq.write_table(robots, os.path.join(fixture, "robots.parquet"))
+
+    result = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, store_backend="http"),
+        work_dir=str(tmp_path / "work"),
+    )
+    sched = result.schedule_history()
+    fetched = {
+        c
+        for c, v in zip(
+            sched.column("canon").to_pylist(), sched.column("verdict").to_pylist()
+        )
+        if v == 0
+    }
+    assert f"{http_site}/b.html" not in fetched  # robots gate held
+    assert f"{http_site}/a.html" in fetched
+    assert sum(m["urls_disallowed"] for m in result.metrics) >= 1
