@@ -9,7 +9,8 @@ scheme/host, default-port strip, RFC-3986 dot-segment removal, empty-path ->
 '/', userinfo drop, trailing-dot host strip.  The pytest oracle applies this
 same canonicalization, so conformance is well defined.
 
-``url_hash`` is the low 64 bits (big-endian) of md5(canon) — md5 mirrors the
+``url_hash`` is the LEADING (most-significant) 64 bits of md5(canon), i.e.
+``digest()[:8]`` big-endian == ``int(hexdigest[:16], 16)`` — md5 mirrors the
 reference's content addressing (``crawler/crawler_node.py:253``); 64 bits is
 what the cuckoo/bloom shards key on.
 """
@@ -118,7 +119,7 @@ def host_of(canon: str) -> str:
 
 
 def url_hash(canon: str) -> int:
-    """Low 64 bits of md5(canon), as an unsigned int."""
+    """Leading 64 bits of md5(canon) (= first 16 hex chars), unsigned."""
     return int.from_bytes(hashlib.md5(canon.encode("utf-8")).digest()[:8], "big")
 
 

@@ -147,17 +147,16 @@ def _fetch_decode_phase(
             dedup_first_by_hash,
         )
 
-        P = cfg.dedup_partitions
-
-        def _cpart(batch: pa.Table) -> pa.Table:
-            part = (
-                batch.column("url_hash").to_numpy(zero_copy_only=False)
-                % np.uint64(P)
-            ).astype(np.int32)
-            return batch.append_column("part", pa.array(part, pa.int32()))
+        from distributed_web_crawling_system_ray.pipelines.partition import (
+            add_hash_partition,
+        )
 
         img_cands = (
-            img_cands.map_batches(_cpart, batch_format="pyarrow")
+            img_cands.map_batches(
+                add_hash_partition,
+                fn_kwargs={"P": cfg.dedup_partitions},
+                batch_format="pyarrow",
+            )
             .groupby("part")
             .map_groups(dedup_first_by_hash, batch_format="pyarrow")
         )

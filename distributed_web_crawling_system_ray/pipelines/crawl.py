@@ -66,6 +66,7 @@ from distributed_web_crawling_system_ray.stages.fetch import (
     fetch_pages,
 )
 from distributed_web_crawling_system_ray.pipelines.partition import (
+    add_hash_partition,
     host_partition_chunks,
 )
 from distributed_web_crawling_system_ray.state.scheduler import (
@@ -451,7 +452,16 @@ def run_crawl(
         ).map_batches(extract_image_candidates, batch_format="pyarrow")
 
         def _img_prefilter(batch: pa.Table) -> pa.Table:
-            """Pure contains() anti-join vs prior rounds + robots gate."""
+            """Pure contains() anti-join vs prior rounds + robots gate.
+
+            Deliberate divergence from the oracle's bookkeeping: the oracle
+            marks robots-DISALLOWED image refs 'seen' at first reference,
+            while this pipeline never admits them (they are re-gated on
+            every re-reference).  The robots verdict is stable, so the
+            payload output is identical either way — only the internal
+            image_seen set differs (it holds exactly the admitted
+            candidates), which no conformance surface observes.
+            """
             if batch.num_rows == 0:
                 return batch
             keys = batch.column("url_hash").to_numpy(zero_copy_only=False)
@@ -530,50 +540,54 @@ def run_crawl(
                 )
             else:
                 # cluster-scale round: Dataset-native intra-round set-dedup
-                # (bounded hash partition), stream decode+write, then admit
-                # the actually-written ids once from the sink's image_id
-                # column (url_hash = high 64 bits of md5 = image_id[:16]).
-                P = cfg.dedup_partitions
-
-                def _cpart(batch: pa.Table) -> pa.Table:
-                    part = (
-                        batch.column("url_hash").to_numpy(zero_copy_only=False)
-                        % np.uint64(P)
-                    ).astype(np.int32)
-                    return batch.append_column("part", pa.array(part, pa.int32()))
-
-                payload_ds = (
-                    filtered_cands.map_batches(_cpart, batch_format="pyarrow")
+                # (bounded hash partition); the deduped candidates stay in
+                # the object store (metadata-sized — the blobs only exist
+                # downstream of decode) while ONLY their url_hash column is
+                # pulled for the exactly-once driver admission.  Admission
+                # happens at CANDIDATE time exactly like the driver-sized
+                # path (oracle semantics: a dangling/undecodable ref is
+                # 'seen' at first reference and never retried).
+                deduped_mat = (
+                    filtered_cands.map_batches(
+                        add_hash_partition,
+                        fn_kwargs={"P": cfg.dedup_partitions},
+                        batch_format="pyarrow",
+                    )
                     .groupby("part")
                     .map_groups(dedup_first_by_hash, batch_format="pyarrow")
-                    .map_batches(
-                        decode_images,
-                        fn_kwargs=store_kwargs,
-                        batch_format="pyarrow",
-                        batch_size=cfg.decode_batch_size,
+                ).materialize()
+                hparts = [
+                    t
+                    for t in ray.get(
+                        deduped_mat.select_columns(["url_hash"])
+                        .materialize()
+                        .to_arrow_refs()
                     )
+                    if t.num_rows
+                ]
+                if hparts:
+                    keys = np.concatenate(
+                        [
+                            t.column("url_hash").to_numpy(zero_copy_only=False)
+                            for t in hparts
+                        ]
+                    )
+                    # all keys are new by construction (pure contains()
+                    # prefilter + dedup, and only this driver thread mutates
+                    # image_seen) — check_and_add is the admission record
+                    image_seen.check_and_add(keys)
+                payload_ds = deduped_mat.map_batches(
+                    decode_images,
+                    fn_kwargs=store_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
                 )
                 write_payload(payload_ds, payload_dir)
-                written = [
-                    os.path.join(payload_dir, f)
+                payload_out["n_images"] = sum(
+                    pq.read_metadata(os.path.join(payload_dir, f)).num_rows
                     for f in os.listdir(payload_dir)
                     if f.endswith(".parquet")
-                ]
-                n_images = 0
-                wkeys: list[np.ndarray] = []
-                for f in written:
-                    ids = pq.read_table(f, columns=["image_id"]).column("image_id")
-                    n_images += len(ids)
-                    wkeys.append(
-                        np.fromiter(
-                            (int(s[:16], 16) for s in ids.to_pylist()),
-                            dtype=np.uint64,
-                            count=len(ids),
-                        )
-                    )
-                if wkeys:
-                    image_seen.check_and_add(np.concatenate(wkeys))
-                payload_out["n_images"] = n_images
+                )
 
         import threading
 
@@ -615,16 +629,12 @@ def run_crawl(
         if small_round:
             nf_refs = ray.get(cands.materialize().to_arrow_refs())
         else:
-            P = cfg.dedup_partitions
-
-            def _part(batch: pa.Table) -> pa.Table:
-                part = (
-                    batch.column("url_hash").to_numpy() % np.uint64(P)
-                ).astype(np.int32)
-                return batch.append_column("part", pa.array(part, pa.int32()))
-
             deduped = (
-                cands.map_batches(_part, batch_format="pyarrow")
+                cands.map_batches(
+                    add_hash_partition,
+                    fn_kwargs={"P": cfg.dedup_partitions},
+                    batch_format="pyarrow",
+                )
                 .groupby("part")
                 .map_groups(dedup_min_rank, batch_format="pyarrow")
             )

@@ -571,10 +571,13 @@ def _query_matrix(sf_dir: str, n: int = ANN_N_QUERIES) -> tuple[np.ndarray, np.n
         for t in ray.get(
             _emb(sf_dir, columns=("vec_id",))
             .map_batches(local_min, batch_format="pyarrow")
+            .materialize()
             .to_arrow_refs()
         )
         if t.num_rows
     ]
+    if not parts:  # empty embeddings table
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)
     qids = np.sort(
         np.concatenate(
             [p.column("vec_id").to_numpy(zero_copy_only=False) for p in parts]
@@ -842,6 +845,7 @@ def emb_near_dup_pairs(sf_dir: str) -> pa.Table:
             path, columns=["vec_id", "embedding"], override_num_blocks=n_blocks
         )
         .map_batches(normalize, batch_format="pyarrow", batch_size=None)
+        .materialize()
         .to_arrow_refs()
     )
     B = len(refs)

@@ -45,3 +45,15 @@ def host_partition_chunks(table: pa.Table, target_rows: int = 2048) -> list[pa.T
     t = table.sort_by("host")
     bounds = host_chunk_bounds(t.column("host"), target_rows)
     return [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
+
+
+def add_hash_partition(
+    batch: pa.Table, *, P: int, key_col: str = "url_hash"
+) -> pa.Table:
+    """Append a bounded hash-partition column ``part = key % P`` — the
+    map_batches half of the explicit ``groupby(part)`` dedup exchange used
+    by the crawl frontier/payload branches and the bulk pass."""
+    part = (
+        batch.column(key_col).to_numpy(zero_copy_only=False) % np.uint64(P)
+    ).astype(np.int32)
+    return batch.append_column("part", pa.array(part, pa.int32()))

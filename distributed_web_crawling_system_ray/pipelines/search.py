@@ -64,6 +64,12 @@ _SUFFIXES = ("ing", "edly", "ed", "es", "s")
 def _stem(tok: str) -> str:
     for suf in _SUFFIXES:
         if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+            # Porter-1a-style guard: never strip a bare 's' off an 'ss'
+            # ending ('class' stays 'class') — without it stemming a stem
+            # could strip again ('classed' -> 'class' -> 'clas'), breaking
+            # idempotence (hypothesis-tested in test_search.py)
+            if suf == "s" and tok.endswith("ss"):
+                return tok
             return tok[: -len(suf)]
     return tok
 
@@ -132,6 +138,8 @@ def _df_and_n(tf_ds: "ray.data.Dataset", q: int) -> tuple[np.ndarray, int]:
         )
         if t.num_rows
     ]
+    if not parts:  # empty documents table
+        return np.zeros(q, dtype=np.int64), 0
     folded = pa.concat_tables(parts)
     n = int(pc.sum(folded.column("n")).as_py() or 0)
     df = np.array(

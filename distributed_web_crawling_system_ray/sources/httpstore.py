@@ -64,8 +64,13 @@ class HttpStore:
         self._session = requests.Session()
         self._session.headers["User-Agent"] = user_agent
         self.timeout_s = timeout_s
-        # canonical image URL -> alt text seen on a referencing page
+        # canonical image URL -> alt text seen on a referencing page.
+        # Bounded: the store lives for the whole worker process, and a long
+        # crawl would otherwise grow this one entry per alt'd image until
+        # OOM.  Captions are best-effort over HTTP, so dropping old entries
+        # only degrades captions, never correctness.
         self._alt: dict[str, str] = {}
+        self._alt_cap = 100_000
 
     def fetch(self, canon_url: str) -> dict:
         """One GET: redirects followed, final response.url kept (v1
@@ -85,6 +90,8 @@ class HttpStore:
             outlinks, imgs = parse_links(r.text)
             from distributed_web_crawling_system_ray.functions.canon import canonicalize
 
+            if len(self._alt) > self._alt_cap:
+                self._alt.clear()
             for src, alt in imgs:
                 image_refs.append(src)
                 c = canonicalize(src, r.url)

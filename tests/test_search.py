@@ -21,15 +21,25 @@ def _texts():
 
 
 def test_tokenizer_matches_v1_regex_and_stem_idempotent():
+    from hypothesis import given
+    from hypothesis import strategies as st
+
     from distributed_web_crawling_system_ray.pipelines.search import _stem, tokenize
 
     s = "The QUICK brown_fox, jumps-over 42 lazy dogs!  rapid: merge;"
     assert tokenize(s) == re.findall(r"[a-z0-9_]+", s.lower())
-    for tok in tokenize(s, stem=True):
-        assert _stem(tok) == tok  # stemming is idempotent
     assert _stem("jumps") == "jump"
     assert _stem("merging") == "merg"
     assert _stem("es") == "es"  # too short to strip
+    assert _stem("class") == "class"  # ss-guard: bare 's' not stripped
+    assert _stem(_stem("classed")) == _stem("classed")  # 'class' is a fixpoint
+    assert _stem(_stem("pressed")) == _stem("pressed")
+
+    @given(st.text(alphabet="abcdefgsinedly", min_size=1, max_size=12))
+    def stem_is_idempotent(tok):
+        assert _stem(_stem(tok)) == _stem(tok)
+
+    stem_is_idempotent()
 
 
 def test_term_df_matches_bruteforce():
