@@ -234,3 +234,22 @@ def test_per_host_budget_deferral_preserves_final_sets(
     payload = result.payload_dataset().to_pandas()
     assert payload["image_id"].is_unique
     assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
+def test_seen_prefilter_is_pure_under_reexecution(ray_session):
+    """The retry-safety contract: task-side filtering uses contains() only,
+    so re-running the same filter (as Ray lineage reconstruction would)
+    yields the identical result and never mutates the shard state."""
+    import numpy as np
+
+    from distributed_web_crawling_system_ray.state.seen import SeenPool
+
+    pool = SeenPool.create(2)
+    keys = np.arange(100, dtype=np.uint64)
+    pool.check_and_add(keys[:50])  # prior-round admissions
+    before = pool.total()
+    first = pool.contains(keys)
+    second = pool.contains(keys)  # the 'retry'
+    assert np.array_equal(first, second)
+    assert pool.total() == before  # no mutation from task-side reads
+    assert first[:50].all() and not first[50:].any()
