@@ -189,9 +189,14 @@ def main() -> None:
         lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
         # interleave the two levels so both sample the same host-noise
-        # windows (this VM sees CPU-steal waves); min per level over rounds
+        # windows (this VM sees CPU-steal waves); min per level over rounds.
+        # Window length deliberately stays at the plain bench's repeat=6:
+        # a longer window (repeat=10 tried in round 2) SAMPLES FEWER times
+        # and cannot dodge a multi-minute steal wave, measuring 0.716 while
+        # the short-window protocol held 0.80-0.82 — more, shorter samples
+        # with min-per-level is the noise-robust estimator here.
         env = {"GRAFT_SUSTAINED_ONLY": "1", "GRAFT_SUSTAINED_TRIALS": "2"}
-        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
         r_lo = r_hi = None
         for _ in range(rounds):
             a = run_subprocess(lo, env)
