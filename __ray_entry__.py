@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": dataops.doc_token_count,
         "doc_token_count_bpe": dataops.doc_token_count_bpe,
         "doc_fingerprint": dataops.doc_fingerprint,
+        "doc_winnow_fingerprints": dataops.doc_winnow_fingerprints,
         "doc_quality_counts": dataops.doc_quality_counts,
         "doc_near_dup_pairs": dataops.doc_near_dup_pairs,
         "doc_dedup_clusters": dataops.doc_dedup_clusters,
@@ -203,6 +204,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
+        ),
+        "doc_winnow_fingerprints": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 2), "
+            "i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g "
+            "FROM tok WHERE len(w) >= 3), "
+            "win AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, len(g) - 3), i -> list_min(g[i:i+3]))) AS fps "
+            "FROM sh WHERE len(g) >= 4) "
+            "SELECT doc_id, unnest(fps) AS fp FROM win"
         ),
         "doc_quality_counts": (
             "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "

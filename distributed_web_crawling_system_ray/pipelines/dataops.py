@@ -192,6 +192,50 @@ def doc_fingerprint(sf_dir: str) -> pa.Table:
     return _to_table(_docs(sf_dir).map_batches(fp, batch_format="pyarrow"))
 
 
+WINNOW_WINDOW = 4  # k-gram hashes per winnowing window
+
+
+def doc_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): per doc, hash
+    every 3-token shingle, slide a window of WINNOW_WINDOW hashes, keep each
+    window's minimum — the selected-hash SET is the document fingerprint
+    (guaranteed to share entries with any doc that shares a long-enough
+    substring).  This is the rolling-window fingerprint primitive for
+    plagiarism/near-dup detection at guaranteed-coverage granularity,
+    complementing the probabilistic MinHash path.
+
+    Hashes are md5-hex STRINGS min'd lexicographically so DuckDB reproduces
+    the selection exactly (a production build swaps in a Rabin-Karp rolling
+    integer hash — only the per-gram hash changes, the winnowing shape is
+    identical).  Docs with fewer than WINNOW_WINDOW shingles emit nothing.
+    Output: one (doc_id, fp) row per selected hash.
+    """
+    w = WINNOW_WINDOW
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_f: list[str] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            grams = [
+                hashlib.md5(s.encode("utf-8")).hexdigest() for s in _shingles(text)
+            ]
+            if len(grams) < w:
+                continue
+            fps = {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+            out_d.extend([did] * len(fps))
+            out_f.extend(sorted(fps))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "fp": pa.array(out_f, pa.string()),
+            }
+        )
+
+    return _to_table(_docs(sf_dir).map_batches(winnow, batch_format="pyarrow"))
+
+
 def doc_quality_counts(sf_dir: str) -> pa.Table:
     """Quality-signal counts: tokens, stopwords, long tokens (>6 chars).
     Integer-valued so the SQL oracle comparison is float-free; a downstream

@@ -223,3 +223,44 @@ def test_ann_ivf_full_probe_equals_bruteforce_and_partial_recall():
         len(want) * ANN_K
     )
     assert recall >= 0.3  # isotropic data, half the lists probed
+
+
+def test_winnow_fingerprints_guarantee_and_determinism():
+    """Winnowing's coverage guarantee: documents sharing a sufficiently long
+    substring share at least one selected fingerprint — the planted
+    near-dup pairs (Jaccard >= 0.8) must collide; fingerprints are
+    deterministic and reproducible from the raw text."""
+    import hashlib
+
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        WINNOW_WINDOW,
+        _shingles,
+        doc_near_dup_pairs,
+        doc_winnow_fingerprints,
+    )
+
+    t1 = doc_winnow_fingerprints(SF)
+    t2 = doc_winnow_fingerprints(SF)
+    assert t1.sort_by([("doc_id", "ascending"), ("fp", "ascending")]).equals(
+        t2.sort_by([("doc_id", "ascending"), ("fp", "ascending")])
+    )
+    by_doc: dict[int, set[str]] = {}
+    for d, f in zip(t1.column("doc_id").to_pylist(), t1.column("fp").to_pylist()):
+        by_doc.setdefault(d, set()).add(f)
+    # brute-force recompute for one doc
+    texts = _texts()
+    some_id = next(iter(by_doc))
+    grams = [
+        hashlib.md5(s.encode()).hexdigest() for s in _shingles(texts[some_id])
+    ]
+    want = {
+        min(grams[i : i + WINNOW_WINDOW])
+        for i in range(len(grams) - WINNOW_WINDOW + 1)
+    }
+    assert by_doc[some_id] == want
+    # guarantee: every verified near-dup pair shares >= 1 fingerprint
+    pairs = doc_near_dup_pairs(SF)
+    n_pairs = pairs.num_rows
+    assert n_pairs > 0
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
