@@ -18,5 +18,46 @@ operator mapping.
 
 from distributed_web_crawling_system_ray.config import CrawlConfig
 
+
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import-stable.
+
+    In containers without ``aiohttp`` that submodule FAILS to import; a
+    failed import is removed from ``sys.modules`` and re-attempted on every
+    Ray datasink/datasource path resolution (``_is_http_filesystem``).  Two
+    driver threads issuing Dataset writes concurrently (the crawl loop
+    overlaps its payload and frontier sinks) can race the per-module import
+    lock into a partially-initialized module, which surfaces as a plain
+    ``ImportError`` that escapes Ray's ``except ModuleNotFoundError`` guard
+    and kills the write.  Registering a minimal stub once makes the import
+    deterministic; ``isinstance`` checks against the stub class are always
+    False, which is the correct answer for the local-filesystem paths this
+    package uses (reading ``http://`` parquet would need real aiohttp).
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations as _fi
+    except ImportError:  # no fsspec at all: Ray's guard handles it
+        return
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # never instantiated — isinstance guard only
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = stub
+    _fi.http = stub
+
+
+_stabilize_fsspec_http()
+
 __all__ = ["CrawlConfig"]
 __version__ = "0.1.0"

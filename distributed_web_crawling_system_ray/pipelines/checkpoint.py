@@ -6,27 +6,28 @@ loses the frontier, ``archive/master_node.py:91-101``; v3 persists nothing).
 Here every round commits atomically:
 
     work_dir/checkpoint/round=K/
-        frontier.parquet       (round K's input — lineage/audit)
-        schedule.parquet       (robots verdicts + politeness slots)
-        new_frontier.parquet   (round K+1's input)
-        seen/ image_seen/      (filter shard snapshots)
-        clocks.json            (per-host virtual politeness clocks)
-        metrics.json           (per-round counters, METRICS schema)
-        _SUCCESS               (commit marker — written last)
+        frontier_manifest.json      (pieces composing round K's input)
+        frontier.parquet            (the single piece, driver-sized rounds)
+        schedule.parquet | schedule/ (robots verdicts + politeness slots —
+                                     file on driver-sized rounds, a
+                                     Dataset-written dir at cluster scale)
+        new_frontier_manifest.json  (pieces composing round K+1's input)
+        new_frontier*.parquet | new_frontier_links/ | new_frontier_deferred/
+        seen/ image_seen/           (filter shard snapshots)
+        clocks.json                 (per-host virtual politeness clocks)
+        metrics.json                (per-round counters, METRICS schema)
+        _SUCCESS                    (commit marker — written last)
 
 Resume = restore shards + clocks from the last ``_SUCCESS`` round, re-enter
-the loop at round K+1 with ``new_frontier.parquet``.  Payload partitions
-beyond the committed round are deleted and rewritten (idempotent: the
-restored image-seen filter reproduces the same decisions).
+the loop at round K+1 with the ``new_frontier_manifest.json`` pieces.
+Payload partitions beyond the committed round are deleted and rewritten
+(idempotent: the restored image-seen filter reproduces the same decisions).
 """
 
 from __future__ import annotations
 
 import json
 import os
-
-import pyarrow as pa
-import pyarrow.parquet as pq
 
 
 def round_dir(work_dir: str, k: int) -> str:
@@ -51,15 +52,21 @@ def commit_round(
     work_dir: str,
     k: int,
     *,
-    new_frontier: pa.Table,
+    new_frontier_files: list[str],
     clocks: dict[str, int],
     metrics: dict,
     seen,
     image_seen,
 ) -> None:
+    """Commit round ``k``.  ``new_frontier_files`` are the already-persisted
+    parquet pieces (files or Dataset-written directories, paths relative to
+    ``work_dir``) composing round k+1's frontier — written distributed by the
+    crawl loop so frontier rows never concentrate on the driver; the commit
+    only records the manifest."""
     rd = round_dir(work_dir, k)
     os.makedirs(rd, exist_ok=True)
-    pq.write_table(new_frontier, os.path.join(rd, "new_frontier.parquet"))
+    with open(os.path.join(rd, "new_frontier_manifest.json"), "w") as f:
+        json.dump(new_frontier_files, f)
     with open(os.path.join(rd, "clocks.json"), "w") as f:
         json.dump(clocks, f)
     with open(os.path.join(rd, "metrics.json"), "w") as f:

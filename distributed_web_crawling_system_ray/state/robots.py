@@ -91,16 +91,18 @@ def parse_robots_txt(
     (``RobotFileParser.can_fetch`` + ``crawl_delay``,
     crawler/crawler_node.py:37-55 / archive/crawler_node.py:58-66): grouped
     ``User-agent`` records, ``Disallow`` path prefixes, ``Crawl-delay``
-    seconds.  The most specific matching group wins (an agent token contained
-    in our UA beats ``*``); ``Allow`` lines are ignored — strictly more
-    conservative than longest-match Allow/Disallow resolution.
+    seconds.  The most specific matching group wins — per RFC 9309 that is
+    the LONGEST agent token contained in our UA, with ``*`` as the fallback
+    (r2 ADVICE: first-in-file order applied the wrong group when a less
+    specific token appeared earlier).  ``Allow`` lines are ignored —
+    strictly more conservative than longest-match Allow/Disallow resolution.
     """
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[str], float | None]] = []
     agents: list[str] = []
     rules: list[str] = []
     delay: float | None = None
-    fresh = True  # a User-agent line after rules starts a new group
+    fresh = True  # a User-agent line after any rule line starts a new group
 
     def close() -> None:
         nonlocal agents, rules, delay
@@ -120,27 +122,32 @@ def parse_robots_txt(
                 close()
                 fresh = True
             agents.append(val.lower())
-        elif key == "disallow":
+        else:
+            # ANY non-User-agent directive (Disallow, Crawl-delay, Allow,
+            # Sitemap, ...) ends the agent block: a later User-agent line
+            # starts a NEW group instead of merging into this one (r2
+            # ADVICE — merging applied group B's rules to group A's agents)
             fresh = False
-            if val:
-                rules.append(val)
-        elif key == "crawl-delay":
-            fresh = False
-            try:
-                delay = float(val)
-            except ValueError:
-                pass
+            if key == "disallow":
+                if val:
+                    rules.append(val)
+            elif key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
     close()
 
     best: tuple[list[str], float | None] | None = None
+    best_len = -1
     star: tuple[list[str], float | None] | None = None
     for ag, ru, dl in groups:
-        if any(a != "*" and a in ua for a in ag):
-            best = (ru, dl)
-            break
+        for a in ag:
+            if a != "*" and a in ua and len(a) > best_len:
+                best, best_len = (ru, dl), len(a)
         if star is None and "*" in ag:
             star = (ru, dl)
-    chosen = best or star
+    chosen = best if best is not None else star
     if chosen is None:
         return (), None
     ru, dl = chosen

@@ -93,7 +93,8 @@ def test_bulk_politeness_is_host_spaced(bulk_t1, tmp_path_factory):
     for ci, c in enumerate(chunks):
         for h in set(c.column("host").to_pylist()):
             assert seen_hosts.setdefault(h, ci) == ci
-    sched = bulk._schedule_phase(chunks, store_refs, cfg)
+    sched_ds = bulk._schedule_phase(chunks, store_refs, cfg)
+    sched = ray.get(sched_ds.to_arrow_refs())
     robots = RobotsPolicies.from_table(
         pq2.read_table(os.path.join(fixture, "robots.parquet"))
     )

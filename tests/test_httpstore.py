@@ -227,6 +227,45 @@ def test_parse_robots_txt_groups_and_ua_matching():
     assert dis == ("/x",) and delay == 1500
 
 
+def test_parse_robots_txt_unhandled_directives_close_groups():
+    """r2 ADVICE: an Allow/Sitemap line must end the agent block — a later
+    User-agent starts a NEW group; B's Disallow never applies to A."""
+    from distributed_web_crawling_system_ray.state.robots import parse_robots_txt
+
+    txt = (
+        "User-agent: alpha\n"
+        "Allow: /x\n"
+        "User-agent: beta\n"
+        "Disallow: /y\n"
+    )
+    assert parse_robots_txt(txt, "Alpha/1.0") == ((), None)
+    assert parse_robots_txt(txt, "Beta/1.0") == (("/y",), None)
+    # Sitemap between groups likewise separates them
+    txt2 = "User-agent: a\nSitemap: http://e/s.xml\nUser-agent: b\nDisallow: /z\n"
+    assert parse_robots_txt(txt2, "A/1") == ((), None)
+    assert parse_robots_txt(txt2, "B/1") == (("/z",), None)
+
+
+def test_parse_robots_txt_longest_agent_token_wins():
+    """RFC 9309 most-specific group: the LONGEST matching token, not the
+    first in file order."""
+    from distributed_web_crawling_system_ray.state.robots import parse_robots_txt
+
+    txt = (
+        "User-agent: ray\n"
+        "Disallow: /generic\n"
+        "\n"
+        "User-agent: raycrawlbot\n"
+        "Disallow: /specific\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    assert parse_robots_txt(txt, "RayCrawlBot/1.0") == (("/specific",), None)
+    assert parse_robots_txt(txt, "ray-lite/0.1") == (("/generic",), None)
+    assert parse_robots_txt(txt, "Unrelated/9") == (("/",), None)
+
+
 def test_live_robots_fetch_and_crawl_honors_disallow(
     http_site, ray_session, tmp_path
 ):

@@ -131,6 +131,46 @@ def test_resume_with_no_committed_round_wipes_partial_payload(
     assert set(payload["image_id"]) == set(oracle.images.keys())
 
 
+def test_resume_across_distributed_frontier_layout(ray_session, tmp_path_factory):
+    """Cluster-scale rounds persist the new frontier as Dataset-written
+    parquet directories listed in new_frontier_manifest.json (frontier rows
+    never concentrate on the driver).  Kill after round 1 and resume —
+    restoring the frontier from the manifest — must converge to the oracle
+    exactly like the driver-table layout."""
+    import os
+
+    from distributed_web_crawling_system_ray.pipelines.checkpoint import round_dir
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    work = str(tmp_path_factory.mktemp("crawl_dist_resume"))
+    cfg = lambda **kw: CrawlConfig(seen_shards=2, driver_partition_limit=0, **kw)
+    partial = run_crawl(fixture, cfg(max_rounds=2), work_dir=work)
+    assert partial.rounds == 2
+    # the distributed layout is actually in play: round 0 committed a
+    # Dataset-written links directory, not a driver-written monolith
+    links_dir = os.path.join(round_dir(work, 0), "new_frontier_links")
+    assert os.path.isdir(links_dir)
+    assert os.path.exists(
+        os.path.join(round_dir(work, 0), "new_frontier_manifest.json")
+    )
+    result = run_crawl(fixture, cfg(), work_dir=work, resume=True)
+    oracle = crawl_oracle(WebStore(fixture))
+    hist = result.frontier_history()
+    got = {
+        c: (d, r)
+        for c, d, r in zip(
+            hist.column("canon").to_pylist(),
+            hist.column("depth").to_pylist(),
+            hist.column("rank_path").to_pylist(),
+        )
+    }
+    assert got == oracle.seen
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+    assert set(payload["image_id"]) == set(oracle.images.keys())
+
+
 def test_resume_after_corrupted_last_round(ray_session, tmp_path_factory):
     """Harsher crash model: the last round's _SUCCESS marker is missing
     (simulating a kill mid-commit).  Resume must fall back to the previous
