@@ -30,7 +30,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from distributed_web_crawling_system_ray import api
-    from distributed_web_crawling_system_ray.pipelines import dataops, search
+    from distributed_web_crawling_system_ray.pipelines import (
+        dataops,
+        search,
+        search_index,
+    )
 
     return {
         # --- crawl engine (SURVEY §2 operator groups) ---
@@ -52,9 +56,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": dataops.doc_langid,
         "docs_by_lang": dataops.docs_by_lang,
         # --- search layer (M9 tokenizer, M10 snippet, T1 top-k, D2, D5) ---
-        "search_topk": search.search_topk,
-        "search_and_terms": search.search_and_terms,
-        "search_term_df": search.search_term_df,
+        # answered FROM the persisted inverted index (build-once-query-many
+        # with upsert-by-doc_id across submissions — the reference's Whoosh
+        # update_document contract, indexer/indexer_node.py:83-106); outputs
+        # are identical to the direct one-pass pipeline in pipelines/search.py
+        "search_topk": search_index.search_topk_indexed,
+        "search_and_terms": search_index.search_and_terms_indexed,
+        "search_term_df": search_index.search_term_df_indexed,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,

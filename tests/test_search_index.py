@@ -1,0 +1,165 @@
+"""Persistent incremental search index (reference: Whoosh update_document
+upsert-by-key across crawler submissions, indexer/indexer_node.py:83-106).
+
+Contract under test:
+- build from submission 1, query; update with submission 2 (new docs + some
+  RE-submitted doc_ids with changed text); queries reflect the latest text
+  per doc_id WITHOUT a full rebuild (the gen-1 files are untouched).
+- index-backed queries equal the direct one-pass pipeline over the merged
+  "current" corpus (latest text per doc_id) — the oracle relation.
+- the distributed overlap path (driver_id_limit=0) produces the same index.
+- compaction folds generations and preserves every query result.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from distributed_web_crawling_system_ray.pipelines import search
+from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
+
+TERMS = list(search.QUERY_TERMS)
+
+
+def _docs_table(rows: dict[int, str]) -> pa.Table:
+    ids = sorted(rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    vocab = [
+        "customer", "join", "window", "stream", "table", "query", "index",
+        "crawl", "page", "robots", "the", "a", "of", "data",
+    ]
+    sub1 = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for i in range(60)
+    }
+    # submission 2: 20 brand-new docs + 15 RE-submitted ids with CHANGED text
+    sub2 = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for i in range(60, 80)
+    }
+    for i in range(10, 25):
+        sub2[i] = "customer " * (i % 4) + " ".join(
+            rng.choice(vocab, size=rng.integers(5, 30))
+        )
+    merged = dict(sub1)
+    merged.update(sub2)
+    return sub1, sub2, merged
+
+
+def _direct_over(tmp_path, rows: dict[int, str], name: str):
+    """Direct (non-indexed) pipeline results over a corpus snapshot — the
+    ground truth the index must reproduce."""
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    pq.write_table(_docs_table(rows), str(d / "documents.parquet"))
+    sf = str(d)
+    return (
+        search.search_topk(sf),
+        search.search_and_terms(sf),
+        search.search_term_df(sf),
+    )
+
+
+def _assert_index_matches(idx: SearchIndex, want, k=search.TOP_K):
+    topk, and_t, df = want
+    got_topk = idx.topk(TERMS, k)
+    assert got_topk.equals(topk)
+    got_and = idx.and_terms(TERMS)
+    assert sorted(got_and.column("doc_id").to_pylist()) == sorted(
+        and_t.column("doc_id").to_pylist()
+    )
+    got_df = {
+        t: d
+        for t, d in zip(
+            idx.term_df().column("term").to_pylist(),
+            idx.term_df().column("df").to_pylist(),
+        )
+    }
+    want_df = {
+        t: d
+        for t, d in zip(df.column("term").to_pylist(), df.column("df").to_pylist())
+    }
+    assert got_df == want_df
+
+
+def test_incremental_update_reflects_latest_text(ray_session, tmp_path, corpus):
+    sub1, sub2, merged = corpus
+    idx = SearchIndex.create(str(tmp_path / "idx"))
+    idx.update(_docs_table(sub1))
+    # initial build answers like the direct pipeline over submission 1
+    _assert_index_matches(idx, _direct_over(tmp_path, sub1, "snap1"))
+    gen0_postings = sorted(
+        os.listdir(os.path.join(idx.index_dir, "gen=0", "postings"))
+    )
+    gen0_mtimes = {
+        f: os.path.getmtime(os.path.join(idx.index_dir, "gen=0", "postings", f))
+        for f in gen0_postings
+    }
+
+    stats = idx.update(_docs_table(sub2))
+    assert stats["n_docs"] == len(sub2)
+    assert stats["n_upserts"] == 15  # the re-submitted ids
+    assert idx.meta["live_docs"] == len(merged)
+    # incremental: generation-0 files were NOT rewritten (no full rebuild)
+    for f, m in gen0_mtimes.items():
+        assert (
+            os.path.getmtime(os.path.join(idx.index_dir, "gen=0", "postings", f))
+            == m
+        )
+    # queries now reflect the merged corpus (latest text per doc_id)
+    _assert_index_matches(idx, _direct_over(tmp_path, merged, "snap2"))
+
+
+def test_distributed_overlap_path_matches(ray_session, tmp_path, corpus):
+    sub1, sub2, merged = corpus
+    idx = SearchIndex.create(str(tmp_path / "idx_dist"), driver_id_limit=0)
+    idx.update(_docs_table(sub1))
+    stats = idx.update(_docs_table(sub2))
+    assert stats["n_upserts"] == 15
+    assert idx.meta["live_docs"] == len(merged)
+    _assert_index_matches(idx, _direct_over(tmp_path, merged, "snap3"))
+
+
+def test_compact_preserves_queries(ray_session, tmp_path, corpus):
+    sub1, sub2, merged = corpus
+    idx = SearchIndex.create(str(tmp_path / "idx_c"))
+    idx.update(_docs_table(sub1))
+    idx.update(_docs_table(sub2))
+    before = (
+        idx.topk(TERMS),
+        sorted(idx.and_terms(TERMS).column("doc_id").to_pylist()),
+        idx.term_df().sort_by("term"),
+    )
+    out = idx.compact()
+    assert out["compacted"] and len(idx.meta["generations"]) == 1
+    assert idx.meta["live_docs"] == len(merged)
+    assert idx._last_gen_map() == {}  # supersede map emptied
+    assert idx.topk(TERMS).equals(before[0])
+    assert sorted(idx.and_terms(TERMS).column("doc_id").to_pylist()) == before[1]
+    assert idx.term_df().sort_by("term").equals(before[2])
+    # reopen from disk: the commit is durable
+    idx2 = SearchIndex.open(idx.index_dir)
+    assert idx2.topk(TERMS).equals(before[0])
+
+
+def test_zero_match_query_pads_with_ascending_ids(ray_session, tmp_path):
+    rows = {i: "alpha beta gamma" for i in range(5)}
+    idx = SearchIndex.create(str(tmp_path / "idx_z"))
+    idx.update(_docs_table(rows))
+    t = idx.topk(["nosuchterm"], k=3)
+    assert t.column("doc_id").to_pylist() == [0, 1, 2]
+    assert t.column("score").to_pylist() == [0, 0, 0]
+    assert t.column("snippet").to_pylist() == ["alpha beta gamma"] * 3
