@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": search_index.search_topk_indexed,
         "search_and_terms": search_index.search_and_terms_indexed,
         "search_term_df": search_index.search_term_df_indexed,
+        # v3 stemmed scoring (Whoosh StemmingAnalyzer contract) — the suffix
+        # rules are SQL-expressible, so this path is hash-checked too
+        "search_topk_stemmed": search.search_topk_stemmed,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,
@@ -169,6 +172,36 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": (
             "WITH tok AS (SELECT doc_id, text, "
             "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents), "
+            "tf AS (SELECT doc_id, text, "
+            "len(list_filter(w, x -> x = 'customer'))::BIGINT AS tf0, "
+            "len(list_filter(w, x -> x = 'join'))::BIGINT AS tf1, "
+            "len(list_filter(w, x -> x = 'window'))::BIGINT AS tf2 FROM tok), "
+            "st AS (SELECT count(*)::BIGINT AS nd, "
+            "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0, "
+            "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1, "
+            "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2 FROM tf), "
+            "s AS (SELECT doc_id, text, "
+            "(tf0 * (CASE WHEN df0 > 0 THEN (nd * 1000) // df0 ELSE 0 END) + "
+            "tf1 * (CASE WHEN df1 > 0 THEN (nd * 1000) // df1 ELSE 0 END) + "
+            "tf2 * (CASE WHEN df2 > 0 THEN (nd * 1000) // df2 ELSE 0 END))::BIGINT "
+            "AS score FROM tf, st) "
+            'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+            "doc_id, score, substring(text, 1, 200) AS snippet "
+            "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        # the same integer TF-IDF pipeline over STEMMED tokens; the stemmer's
+        # suffix rules (pipelines/search.py _stem) as a CASE chain.  Branch
+        # order matches the Python suffix loop: ing, edly, ed, es, s.
+        "search_topk_stemmed": (
+            "WITH tok AS (SELECT doc_id, text, list_transform("
+            "regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> CASE "
+            "WHEN t LIKE '%ing' AND length(t) >= 6 THEN substring(t, 1, length(t) - 3) "
+            "WHEN t LIKE '%edly' AND length(t) >= 7 THEN substring(t, 1, length(t) - 4) "
+            "WHEN t LIKE '%ed' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
+            "WHEN t LIKE '%es' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
+            "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) >= 4 "
+            "THEN substring(t, 1, length(t) - 1) "
+            "ELSE t END) AS w FROM documents), "
             "tf AS (SELECT doc_id, text, "
             "len(list_filter(w, x -> x = 'customer'))::BIGINT AS tf0, "
             "len(list_filter(w, x -> x = 'join'))::BIGINT AS tf1, "

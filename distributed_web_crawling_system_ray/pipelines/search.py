@@ -95,9 +95,14 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
     )
 
 
-def _tf_table(sf_dir: str, terms=QUERY_TERMS) -> "ray.data.Dataset":
+def _tf_table(
+    sf_dir: str, terms=QUERY_TERMS, stem: bool = False
+) -> "ray.data.Dataset":
     """One tokenize pass -> per-doc query-term tf vector (doc_id + Q ints).
-    This is the only materialized intermediate; it is ~Q+1 ints per doc."""
+    This is the only materialized intermediate; it is ~Q+1 ints per doc.
+    With ``stem=True`` both the document tokens and the comparison run over
+    stems (the v3 StemmingAnalyzer contract — terms are pre-stemmed by the
+    caller)."""
     term_list = list(terms)
 
     def tf(batch: pa.Table) -> pa.Table:
@@ -105,6 +110,8 @@ def _tf_table(sf_dir: str, terms=QUERY_TERMS) -> "ray.data.Dataset":
         idx = {t: i for i, t in enumerate(term_list)}
         for r, text in enumerate(batch.column("text").to_pylist()):
             for tok in _TOKEN.findall(text.lower()):
+                if stem:
+                    tok = _stem(tok)
                 i = idx.get(tok)
                 if i is not None:
                     counts[i][r] += 1
@@ -155,8 +162,22 @@ def search_topk(sf_dir: str) -> pa.Table:
     Returns (rank, doc_id, score, snippet) — rank 1..k by
     (score DESC, doc_id ASC), snippet = first 200 chars of the doc text.
     """
+    return _topk_over(sf_dir, stem=False)
+
+
+def search_topk_stemmed(sf_dir: str) -> pa.Table:
+    """The v3 half of the search contract: scoring over STEMMED tokens
+    (Whoosh StemmingAnalyzer, indexer/indexer_node.py:63) — 'joins',
+    'joined', 'joining' all count toward 'join'.  The suffix-stripper
+    ``_stem`` is expressible in SQL (a CASE chain over the same rules), so
+    this variant is DuckDB-hash-checked like the v1 path."""
+    return _topk_over(sf_dir, stem=True)
+
+
+def _topk_over(sf_dir: str, stem: bool) -> pa.Table:
     q = len(QUERY_TERMS)
-    tf_ds = _tf_table(sf_dir)
+    terms = [_stem(t) for t in QUERY_TERMS] if stem else list(QUERY_TERMS)
+    tf_ds = _tf_table(sf_dir, terms=terms, stem=stem)
     df, n = _df_and_n(tf_ds, q)
     idf = np.where(df > 0, (n * IDF_SCALE) // np.maximum(df, 1), 0).astype(np.int64)
 
@@ -241,6 +262,88 @@ def search_and_terms(sf_dir: str) -> pa.Table:
         pa.concat_tables(parts)
         if parts
         else pa.table({"doc_id": pa.array([], pa.int64())})
+    )
+
+
+# ------------------------------------------------------------- highlights
+
+
+def highlight(
+    text: str,
+    terms=QUERY_TERMS,
+    n_frags: int = 2,
+    frag_chars: int = 60,
+) -> str:
+    """Whoosh-style best-fragment highlighting (v3 ``highlights(top=2)`` with
+    the 200-char fallback, indexer/indexer_node.py:166-171).
+
+    Deterministic re-implementation of the contract, not the library: term
+    occurrences (v1 tokenizer) anchor ±``frag_chars`` windows; overlapping
+    windows merge into one fragment; fragments rank by (distinct terms DESC,
+    match count DESC, position ASC); the best ``n_frags`` render in document
+    order with matches wrapped in ``<b>…</b>`` and joined by ``...``.  A doc
+    with no match falls back to ``text[:200]`` exactly like v3.
+    """
+    tset = set(terms)
+    matches = [
+        (m.start(), m.end(), m.group())
+        for m in _TOKEN.finditer(text.lower())
+        if m.group() in tset
+    ]
+    if not matches:
+        return text[:SNIPPET_CHARS]
+    # merge matches into fragments: consecutive matches whose windows touch
+    frags: list[list[tuple[int, int, str]]] = [[matches[0]]]
+    for m in matches[1:]:
+        if m[0] - frags[-1][-1][1] <= 2 * frag_chars:
+            frags[-1].append(m)
+        else:
+            frags.append([m])
+
+    def frag_key(fr):
+        return (-len({t for _, _, t in fr}), -len(fr), fr[0][0])
+
+    best = sorted(sorted(frags, key=frag_key)[:n_frags], key=lambda fr: fr[0][0])
+    out: list[str] = []
+    for fr in best:
+        a = max(0, fr[0][0] - frag_chars)
+        b = min(len(text), fr[-1][1] + frag_chars)
+        piece: list[str] = []
+        pos = a
+        for s, e, _t in fr:
+            piece.append(text[pos:s])
+            piece.append("<b>" + text[s:e] + "</b>")
+            pos = e
+        piece.append(text[pos:b])
+        out.append("".join(piece))
+    joined = "...".join(out)
+    if best[0][0][0] - frag_chars > 0:
+        joined = "..." + joined
+    if best[-1][-1][1] + frag_chars < len(text):
+        joined = joined + "..."
+    return joined
+
+
+def search_topk_highlighted(sf_dir: str) -> pa.Table:
+    """``search_topk`` with Whoosh-style highlighted fragments instead of the
+    plain 200-char snippet (opt-in surface; the oracle-checked default stays
+    the v3 fallback).  The highlight pass is a pruned read of the k winners'
+    text only."""
+    top = search_topk(sf_dir)
+    ids = top.column("doc_id").to_pylist()
+    snip_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids),
+    )
+    texts: dict[int, str] = {}
+    for t in [x for x in ray.get(snip_ds.materialize().to_arrow_refs()) if x.num_rows]:
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            texts[d] = txt
+    return top.set_column(
+        top.schema.get_field_index("snippet"),
+        "snippet",
+        pa.array([highlight(texts.get(d, "")) for d in ids], pa.string()),
     )
 
 

@@ -109,3 +109,117 @@ def test_search_and_terms_matches_bruteforce():
     got = set(search_and_terms(SF).column("doc_id").to_pylist())
     assert got == want
     assert 0 < len(want) < len(tf)  # AND actually filters something
+
+
+def test_search_topk_stemmed_matches_bruteforce_and_differs_from_v1():
+    """v3 stemmed scoring: 'joins'/'joined'/'windows' count toward the query
+    terms.  Brute-force expectation over stemmed tokens; the ranking must
+    differ from the v1 (unstemmed) path on this corpus (non-vacuous)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        IDF_SCALE,
+        QUERY_TERMS,
+        TOP_K,
+        _stem,
+        search_topk,
+        search_topk_stemmed,
+        tokenize,
+    )
+
+    texts = _texts()
+    n = len(texts)
+    terms = [_stem(t) for t in QUERY_TERMS]
+    tf = {
+        d: {q: [_stem(x) for x in tokenize(t)].count(q) for q in terms}
+        for d, t in texts.items()
+    }
+    df = {q: sum(1 for d in tf if tf[d][q] > 0) for q in terms}
+    idf = {q: (n * IDF_SCALE) // df[q] if df[q] else 0 for q in terms}
+    scores = {d: sum(tf[d][q] * idf[q] for q in terms) for d in tf}
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    got = search_topk_stemmed(SF)
+    assert got.column("doc_id").to_pylist() == [d for d, _ in want]
+    assert got.column("score").to_pylist() == [s for _, s in want]
+
+
+def test_stemmed_scoring_counts_inflected_variants(tmp_path):
+    """Non-vacuous stemming check on a corpus WITH inflections (the sf
+    vocabulary has none): 'joins joined joining' scores under the stemmed
+    path and not under v1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        search_topk,
+        search_topk_stemmed,
+    )
+
+    d = tmp_path / "sf_inflect"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "joins joined joining customers windows",
+                        "nothing matching here at all",
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    v1 = search_topk(str(d))
+    stemmed = search_topk_stemmed(str(d))
+    assert max(v1.column("score").to_pylist()) == 0  # no exact-term hits
+    by_doc = dict(
+        zip(
+            stemmed.column("doc_id").to_pylist(),
+            stemmed.column("score").to_pylist(),
+        )
+    )
+    assert by_doc[1] > 0 and by_doc[2] == 0
+
+
+def test_highlight_fragments_pinned():
+    """Whoosh-style best-2-fragment highlighting (v3 highlights(top=2)):
+    pinned output on a fixed document, fallback when no term matches."""
+    from distributed_web_crawling_system_ray.pipelines.search import highlight
+
+    text = (
+        "The customer opened a window. "
+        + "Nothing relevant happens in this long middle section of prose, "
+        * 3
+        + "then a join between the customer table and the orders table, "
+        "and finally one more window mention far away."
+    )
+    got = highlight(text, ("customer", "join", "window"), n_frags=2, frag_chars=30)
+    # best fragment holds the densest distinct-term run; both render in
+    # document order with <b> marks and ellipses at cut points
+    assert got == (
+        "The <b>customer</b> opened a <b>window</b>. Nothing relevant "
+        "happens in ...ddle section of prose, then a <b>join</b> between "
+        "the <b>customer</b> table and the orders table, and finally one "
+        "more <b>window</b> mention far away."
+    )
+    # no-match fallback = first 200 chars (v3 contract)
+    assert highlight("plain text " * 40, ("zzz",)) == ("plain text " * 40)[:200]
+
+
+def test_search_topk_highlighted_marks_terms():
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        search_topk,
+        search_topk_highlighted,
+    )
+
+    got = search_topk_highlighted(SF)
+    base = search_topk(SF)
+    assert got.column("doc_id").to_pylist() == base.column("doc_id").to_pylist()
+    assert got.column("score").to_pylist() == base.column("score").to_pylist()
+    # every positive-score winner's snippet highlights at least one term
+    for s, snip in zip(
+        got.column("score").to_pylist(), got.column("snippet").to_pylist()
+    ):
+        if s > 0:
+            assert "<b>" in snip and "</b>" in snip
