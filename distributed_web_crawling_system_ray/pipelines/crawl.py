@@ -209,7 +209,11 @@ def _sched_summary(batch: pa.Table) -> pa.Table:
         )
         .reset_index()
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip the pandas schema metadata: it makes the Arrow schema unhashable
+    # and Ray Data then warns on every block-schema unify
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+        None
+    )
 
 
 @dataclass

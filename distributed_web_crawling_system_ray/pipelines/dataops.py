@@ -42,17 +42,41 @@ import ray.data
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
+
+def _from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata: that
+    metadata dict makes the Arrow schema UNHASHABLE, which defeats Ray Data's
+    block-schema dedup and spams "Failed to hash the schemas" on every block
+    unify (visible in every r2 bench log tail)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 _WS = re.compile(r"\s+")
 
 
+def _read_pq(path, **kw) -> "ray.data.Dataset":
+    """read_parquet + schema-metadata strip.  Testdata parquet written by
+    pandas embeds ``b'pandas'`` metadata in the Arrow schema, making block
+    schemas unhashable — Ray then warns "Failed to hash the schemas" on
+    every multi-block batch unify.  The strip stage is zero-copy and fuses
+    with the downstream map."""
+    return ray.data.read_parquet(path, **kw).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 
 
 def _emb(sf_dir: str, columns=("vec_id", "embedding")) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, "embeddings.parquet"), columns=list(columns)
     )
 
@@ -626,7 +650,7 @@ def doc_simhash_pairs(sf_dir: str) -> pa.Table:
     if out is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     df = out.to_pandas().drop_duplicates().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _from_pandas(df)
 
 
 # ---------------------------------------------------------------- lang-id
@@ -757,9 +781,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
         df = group.to_pandas().sort_values(
             ["sim", "vec_id"], ascending=[False, True]
         ).head(ANN_K)
-        return pa.Table.from_pandas(
-            df[["query_id", "vec_id"]], preserve_index=False
-        )
+        return _from_pandas(df[["query_id", "vec_id"]])
 
     out = (
         _emb(sf_dir)
@@ -820,7 +842,7 @@ def ann_topk_lsh(sf_dir: str) -> pa.Table:
     def merge(group: pa.Table) -> pa.Table:
         df = group.to_pandas().drop_duplicates(["query_id", "vec_id"])
         df = df.nlargest(min(ANN_K, len(df)), "sim")
-        return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
+        return _from_pandas(df[["query_id", "vec_id"]])
 
     out = (
         _emb(sf_dir)
@@ -913,7 +935,7 @@ def ann_topk_ivf(sf_dir: str, nprobe: int = IVF_NPROBE) -> pa.Table:
         df = group.to_pandas().sort_values(
             ["sim", "vec_id"], ascending=[False, True]
         ).head(ANN_K)
-        return pa.Table.from_pandas(df[["query_id", "vec_id"]], preserve_index=False)
+        return _from_pandas(df[["query_id", "vec_id"]])
 
     out = (
         _emb(sf_dir)
@@ -1017,7 +1039,7 @@ def emb_near_dup_pairs(sf_dir: str) -> pa.Table:
     if out is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     df = out.to_pandas().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _from_pandas(df)
 
 
 def emb_threshold_lsh(
@@ -1103,9 +1125,7 @@ def emb_threshold_lsh(
         return batch.append_column("pair_key", pa.array(key, pa.uint64()))
 
     def dedup(part: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            part.to_pandas().drop_duplicates(), preserve_index=False
-        )
+        return _from_pandas(part.to_pandas().drop_duplicates())
 
     out = _to_table(
         hash_partition_apply(
@@ -1115,7 +1135,7 @@ def emb_threshold_lsh(
     if out is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     df = out.to_pandas()[["a", "b"]].sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _from_pandas(df)
 
 
 def emb_label_counts(sf_dir: str) -> pa.Table:
@@ -1142,7 +1162,7 @@ SESSION_GAP_S = 1800
 
 
 def _events(sf_dir: str, columns) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=list(columns)
     )
 
@@ -1244,7 +1264,7 @@ def events_type_value_stats(sf_dir: str) -> pa.Table:
         g = df.groupby("event_type", as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -1271,7 +1291,7 @@ def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
 
     fixture = build_fixture(scale_for(sf_dir))
-    return ray.data.read_parquet(
+    return _read_pq(
         os.path.join(fixture, "images.parquet"), columns=list(columns)
     )
 
@@ -1321,7 +1341,7 @@ def image_phash_near_dup(sf_dir: str) -> pa.Table:
     if out is None:
         return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
     df = out.to_pandas().drop_duplicates().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _from_pandas(df)
 
 
 def image_stats_by_fmt(sf_dir: str) -> pa.Table:
@@ -1347,7 +1367,7 @@ def image_stats_by_fmt(sf_dir: str) -> pa.Table:
             sum_pixels=("pixels", "sum"),
             sum_bytes=("nbytes", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -1398,7 +1418,7 @@ def image_thumbnails(sf_dir: str) -> pa.Table:
 
 
 def _tpch(sf_dir: str, name: str, columns) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return _read_pq(
         os.path.join(sf_dir, f"{name}.parquet"), columns=list(columns)
     )
 
@@ -1445,7 +1465,7 @@ def orders_by_region(sf_dir: str) -> pa.Table:
         g = df.groupby("r_name", as_index=False).agg(
             n_orders=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 

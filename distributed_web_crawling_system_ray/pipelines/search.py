@@ -90,7 +90,9 @@ SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    from distributed_web_crawling_system_ray.pipelines.dataops import _read_pq
+
+    return _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 
