@@ -106,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         crawl_schedule_sql,
         crawl_seen_sql,
     )
+    from distributed_web_crawling_system_ray.pipelines.search import STEM_SQL_CASE
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
 
     t2 = build_fixture("t2")
@@ -194,18 +195,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
         ),
         # the same integer TF-IDF pipeline over STEMMED tokens; the stemmer's
-        # suffix rules (pipelines/search.py _stem) as a CASE chain.  Branch
-        # order matches the Python suffix loop: ing, edly, ed, es, s.
+        # suffix rules come from the SHARED constant (pipelines/search.py
+        # STEM_SQL_CASE) so the oracle and the Python _stem cannot drift.
         "search_topk_stemmed": (
             "WITH tok AS (SELECT doc_id, text, list_transform("
-            "regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> CASE "
-            "WHEN t LIKE '%ing' AND length(t) >= 6 THEN substring(t, 1, length(t) - 3) "
-            "WHEN t LIKE '%edly' AND length(t) >= 7 THEN substring(t, 1, length(t) - 4) "
-            "WHEN t LIKE '%ed' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
-            "WHEN t LIKE '%es' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
-            "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) >= 4 "
-            "THEN substring(t, 1, length(t) - 1) "
-            "ELSE t END) AS w FROM documents), "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+'), t -> "
+            + STEM_SQL_CASE
+            + ") AS w FROM documents), "
             "tf AS (SELECT doc_id, text, "
             "len(list_filter(w, x -> x = 'customer'))::BIGINT AS tf0, "
             "len(list_filter(w, x -> x = 'join'))::BIGINT AS tf1, "

@@ -49,8 +49,17 @@ def _stabilize_fsspec_http() -> None:
         return
     stub = types.ModuleType("fsspec.implementations.http")
 
-    class HTTPFileSystem:  # never instantiated — isinstance guard only
-        pass
+    class HTTPFileSystem:
+        """isinstance guard only; constructing it means a caller genuinely
+        wants HTTP filesystem support — fail with the ORIGINAL cause
+        instead of an obscure AttributeError deep in fsspec."""
+
+        def __init__(self, *a, **kw):
+            raise ImportError(
+                "fsspec HTTPFileSystem is unavailable: aiohttp is not "
+                "installed (stubbed by distributed_web_crawling_system_ray for import "
+                "stability under concurrent Ray datasink path resolution)"
+            )
 
     stub.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = stub

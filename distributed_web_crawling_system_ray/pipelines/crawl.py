@@ -467,13 +467,17 @@ def run_crawl(
     # the driver and shared by all fetch workers (per-worker monotonic epochs
     # drifted by pipeline spin-up and broke same-host spacing)
     rt_epoch = time.time() if cfg.real_time_politeness else None
+    rt_offsets_ref = None
     if rt_epoch is not None and clocks:
         # resume rebase (r2 ADVICE): restored clocks carry the prior run's
         # cumulative virtual schedule — without rebasing, the first fetch of
-        # a resumed real-time crawl would sleep through all of it.  Anchor so
-        # the furthest-ahead host clock is due now; per-host spacing within
-        # this run is still enforced by the virtual slots themselves.
-        rt_epoch -= max(clocks.values()) / 1000.0
+        # a resumed real-time crawl would sleep through all of it.  The
+        # rebase is PER HOST (a single global shift would put every host
+        # except the furthest-ahead one behind the wall clock and collapse
+        # its spacing to a burst): each host's slots are measured relative
+        # to its own restored clock, so its first resumed fetch is due ~now
+        # and within-host gaps (slot deltas >= crawl delay) are preserved.
+        rt_offsets_ref = ray.put({h: int(c) for h, c in clocks.items()})
 
     def _tick(label: str, marks: list, t: list) -> None:
         if timing:
@@ -638,6 +642,7 @@ def run_crawl(
                 **store_kwargs,
                 "real_time": cfg.real_time_politeness,
                 "rt_epoch": rt_epoch,
+                "rt_offsets_ref": rt_offsets_ref,
             },
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
@@ -861,11 +866,17 @@ def run_crawl(
                 # one row per url_hash with the minimum (depth, rank_path)
                 cand_frontier = dedup_min_rank(cand_frontier)
                 # exactly-once first-seen admission (post-dedup, so no
-                # intra-call collisions)
-                newm = ~seen.check_and_add(
+                # intra-call collisions).  Every key here passed the pure
+                # contains() prefilter (no false negatives) and nothing else
+                # mutates `seen` mid-round, so a "seen" verdict can only be
+                # a filter false positive — the row is KEPT (it is genuinely
+                # new; fetching it once is correct, and the phantom-seen key
+                # blocks any later re-enqueue), matching the cluster-scale
+                # path so both layouts emit identical metrics and frontiers.
+                seen.check_and_add(
                     cand_frontier.column("url_hash").to_numpy(zero_copy_only=False)
                 )
-                admitted = cand_frontier.filter(pa.array(newm, pa.bool_()))
+                admitted = cand_frontier
             else:
                 admitted = _empty_frontier()
             n_links_new = admitted.num_rows

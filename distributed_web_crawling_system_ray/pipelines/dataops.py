@@ -521,7 +521,7 @@ _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _hamming_index_pairs(
-    sigs: np.ndarray, max_ham: int, tile: int = 4096
+    sigs: np.ndarray, max_ham: int, tile: int = 2048
 ) -> tuple[np.ndarray, np.ndarray]:
     """All index pairs (i, j), i != j, with popcount(sigs[i] ^ sigs[j]) <=
     ``max_ham`` — the bucket-verify kernel, fully vectorized (r2 judge: the
@@ -530,9 +530,11 @@ def _hamming_index_pairs(
 
     Hot-bucket defense is EXACT, not lossy: signatures are uniqued first, so
     k copies of one signature cost one row in the O(u^2) broadcast-XOR +
-    uint8-view popcount-lookup matrix (tiled to bound the temp at
-    ``tile^2 * 8`` bytes); equal-signature members expand combinatorially
-    only into the OUTPUT pair list, which is inherently that size.
+    uint8-view popcount-lookup matrix; equal-signature members expand
+    combinatorially only into the OUTPUT pair list, which is inherently that
+    size.  Peak temp per tile is ~17 * tile^2 bytes (uint64 XOR matrix +
+    the uint8 lookup result + the uint8 row sums coexist) — ~71 MB at the
+    default tile, bounding concurrent map_groups workers' allocations.
     Each unordered pair is returned exactly once.
     """
     n = len(sigs)
@@ -560,8 +562,9 @@ def _hamming_index_pairs(
         for b0 in range(a0, u, tile):
             b1 = min(u, b0 + tile)
             xor = xa[:, None] ^ usig[b0:b1][None, :]
+            # uint8 sum: 64-bit popcount fits; keeps the ham matrix at 1 B/elem
             ham = _POPCNT8[xor.view(np.uint8).reshape(a1 - a0, b1 - b0, 8)].sum(
-                axis=2
+                axis=2, dtype=np.uint8
             )
             gp, gq = np.nonzero(ham <= max_ham)
             gp = gp + a0

@@ -54,10 +54,16 @@ import ray.data
 # v1 tokenizer (archive/indexer_node.py:19-22) restricted to ASCII so RE2
 # (DuckDB) and Python produce identical tokens.
 _TOKEN = re.compile(r"[a-z0-9_]+")
+# case-preserving variant for highlight offset scanning (original text)
+_TOKEN_CI = re.compile(r"[a-zA-Z0-9_]+")
 
 # crude Porter-step-1-style suffix stripper: stands in for v3's Whoosh
-# StemmingAnalyzer (indexer/indexer_node.py:63) — deterministic, tested for
-# idempotence, NOT used in oracle-checked queries.
+# StemmingAnalyzer (indexer/indexer_node.py:63).  SINGLE-PASS by contract —
+# index-side and query-side tokens both stem exactly once (like Whoosh), so
+# scoring is consistent; repeated application may strip further (any
+# single-pass stripper composes non-trivially, e.g. 'aaases'->'aaas'->'aaa')
+# and is NOT part of the contract.  The DuckDB oracle applies the identical
+# rules (STEM_SQL_CASE below) — Python/SQL parity is property-tested.
 _SUFFIXES = ("ing", "edly", "ed", "es", "s")
 
 
@@ -65,13 +71,26 @@ def _stem(tok: str) -> str:
     for suf in _SUFFIXES:
         if tok.endswith(suf) and len(tok) - len(suf) >= 3:
             # Porter-1a-style guard: never strip a bare 's' off an 'ss'
-            # ending ('class' stays 'class') — without it stemming a stem
-            # could strip again ('classed' -> 'class' -> 'clas'), breaking
-            # idempotence (hypothesis-tested in test_search.py)
+            # ending ('class' stays 'class')
             if suf == "s" and tok.endswith("ss"):
                 return tok
             return tok[: -len(suf)]
     return tok
+
+
+# the exact DuckDB expression of ``_stem`` over a token binding ``t`` —
+# shared by the search_topk_stemmed oracle (__ray_entry__) and the
+# SQL-parity property test.  Branch order matches the Python suffix loop.
+STEM_SQL_CASE = (
+    "CASE "
+    "WHEN t LIKE '%ing' AND length(t) >= 6 THEN substring(t, 1, length(t) - 3) "
+    "WHEN t LIKE '%edly' AND length(t) >= 7 THEN substring(t, 1, length(t) - 4) "
+    "WHEN t LIKE '%ed' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
+    "WHEN t LIKE '%es' AND length(t) >= 5 THEN substring(t, 1, length(t) - 2) "
+    "WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) >= 4 "
+    "THEN substring(t, 1, length(t) - 1) "
+    "ELSE t END"
+)
 
 
 def tokenize(text: str, stem: bool = False) -> list[str]:
@@ -287,10 +306,13 @@ def highlight(
     with no match falls back to ``text[:200]`` exactly like v3.
     """
     tset = set(terms)
+    # scan the ORIGINAL text (ASCII case-insensitive token pattern) so match
+    # offsets index `text` directly — offsets taken on text.lower() shift
+    # whenever a case mapping changes string length (e.g. 'İ' -> 2 chars)
     matches = [
-        (m.start(), m.end(), m.group())
-        for m in _TOKEN.finditer(text.lower())
-        if m.group() in tset
+        (m.start(), m.end(), m.group().lower())
+        for m in _TOKEN_CI.finditer(text)
+        if m.group().lower() in tset
     ]
     if not matches:
         return text[:SNIPPET_CHARS]

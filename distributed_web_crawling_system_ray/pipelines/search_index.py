@@ -81,6 +81,7 @@ class SearchIndex:
     def __init__(self, index_dir: str, meta: dict):
         self.index_dir = index_dir
         self.meta = meta
+        self._lg_cache: dict[int, int] | None = None  # supersede map cache
 
     # ------------------------------------------------------------ lifecycle
 
@@ -274,6 +275,7 @@ class SearchIndex:
         )
 
         # commit: meta lists the generation only after every file is final
+        self._lg_cache = None
         self.meta["generations"].append(
             {"gen": g, "n_docs": int(len(new_ids)), "n_superseded": int(len(overlap))}
         )
@@ -435,6 +437,7 @@ class SearchIndex:
             os.path.join(gd, "superseded.parquet"),
         )
         old_dirs = [self._gen_dir(g) for g in gens]
+        self._lg_cache = None
         self.meta["generations"] = [
             {"gen": new_g, "n_docs": int(len(all_ids)), "n_superseded": 0}
         ]
@@ -448,13 +451,17 @@ class SearchIndex:
 
     def _last_gen_map(self) -> dict[int, int]:
         """doc_id -> latest generation that re-indexed it.  Bounded by the
-        number of UPSERTED docs (re-crawled pages), not the corpus."""
+        number of UPSERTED docs (re-crawled pages), not the corpus; cached
+        per handle and invalidated by update()/compact()."""
+        if self._lg_cache is not None:
+            return self._lg_cache
         out: dict[int, int] = {}
         for e in self.meta["generations"]:
             f = os.path.join(self._gen_dir(e["gen"]), "superseded.parquet")
             if os.path.exists(f):
                 for d in pq.read_table(f).column("doc_id").to_pylist():
                     out[int(d)] = e["gen"]
+        self._lg_cache = out
         return out
 
     def _all_files(self, dir_name: str, parts: set[int] | None = None) -> list[str]:
@@ -510,19 +517,30 @@ class SearchIndex:
             .materialize()
         )
 
-    def query_df(self, terms: list[str]) -> dict[str, int]:
-        """Per-term document frequency for a query — pruned partitions only."""
+    def _matched_parts(self, terms: list[str]) -> list[pa.Table]:
+        """The pruned, live postings rows for ``terms`` as driver-held
+        Arrow parts — read ONCE per query and shared by the df and scoring
+        passes (r3 review: topk used to run the partition read twice)."""
         ds = self._pruned_postings(terms)
-        out = {t: 0 for t in terms}
         if ds is None:
-            return out
-        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+            return []
+        return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+    @staticmethod
+    def _df_from_parts(parts: list[pa.Table], terms: list[str]) -> dict[str, int]:
+        out = {t: 0 for t in terms}
         for t in parts:
             for term, n in zip(
-                *np.unique(np.asarray(t.column("term").to_pylist()), return_counts=True)
+                *np.unique(
+                    np.asarray(t.column("term").to_pylist()), return_counts=True
+                )
             ):
                 out[str(term)] = out.get(str(term), 0) + int(n)
         return out
+
+    def query_df(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequency for a query — pruned partitions only."""
+        return self._df_from_parts(self._matched_parts(terms), terms)
 
     def topk(self, terms: list[str], k: int = 20) -> pa.Table:
         """Integer TF-IDF top-k from the persisted index (same contract as
@@ -531,20 +549,20 @@ class SearchIndex:
         score 0) when fewer than k docs match — the direct pipeline's
         local-topk does the same implicitly."""
         n = int(self.meta["live_docs"])
-        df = self.query_df(terms)
+        parts = self._matched_parts(terms)
+        df = self._df_from_parts(parts, terms)
         idf = {
             t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0 for t in terms
         }
-        ds = self._pruned_postings(terms)
         scored: dict[int, int] = {}
-        if ds is not None:
+        if parts:
             # per-doc score: a doc's rows can span term partitions -> fold
             # by doc_id (vectorized; the fold is bounded by the number of
             # MATCHED docs — a groupby(doc_id) Dataset fold is the swap-in
             # above driver scale)
             import pandas as pd
 
-            for t in [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]:
+            for t in parts:
                 ids = t.column("doc_id").to_numpy(zero_copy_only=False)
                 tf = t.column("tf").to_numpy(zero_copy_only=False)
                 contrib = tf * pd.Series(t.column("term").to_pylist()).map(
@@ -576,10 +594,7 @@ class SearchIndex:
     def and_terms(self, terms: list[str]) -> pa.Table:
         """doc_ids containing ALL terms (v1 posting-list AND, D5) from the
         pruned partitions."""
-        ds = self._pruned_postings(terms)
-        if ds is None:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        parts = [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+        parts = self._matched_parts(terms)
         if not parts:
             return pa.table({"doc_id": pa.array([], pa.int64())})
         all_ids = np.concatenate(
@@ -687,14 +702,26 @@ _INDEX_CACHE_ROOT = os.environ.get(
 )
 
 
+# bump when the on-disk layout or scoring-relevant build logic changes: a
+# stale-format cache must rebuild, never serve wrong hash-checked results
+INDEX_FORMAT_VERSION = 2
+
+
 def index_for(sf_dir: str) -> SearchIndex:
     """Build-once-query-many index over ``sf_dir/documents.parquet``,
-    cached under /tmp and stamped by the source file identity (size+mtime):
-    repeat queries reuse the persisted index — the reference's
-    'index once, query per request' usage."""
+    cached under /tmp — the reference's 'index once, query per request'
+    usage.
+
+    The stamp covers the index-format version + source identity
+    (path|size|mtime_ns); the build lands in a pid-suffixed staging dir and
+    swaps in via ``os.replace``, so a crashed build leaves only an ignored
+    staging dir and a concurrent reader of the previous index keeps its
+    already-open handles (r3 review: the in-place create could rmtree a
+    directory another process was querying, and a same-second in-place
+    rewrite of the source passed the old stamp)."""
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    stamp = f"{src}|{st.st_size}|{int(st.st_mtime)}"
+    stamp = f"v{INDEX_FORMAT_VERSION}|{src}|{st.st_size}|{st.st_mtime_ns}"
     d = os.path.join(
         _INDEX_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir))
     )
@@ -705,11 +732,17 @@ def index_for(sf_dir: str) -> SearchIndex:
                 os.path.join(d, "meta.json")
             ):
                 return SearchIndex.open(d)
-    idx = SearchIndex.create(d)
+    staging = f"{d}.build-{os.getpid()}"
+    idx = SearchIndex.create(staging)
     idx.update(src)
-    with open(stamp_path, "w") as f:
+    with open(os.path.join(staging, "_SOURCE_STAMP"), "w") as f:
         f.write(stamp)
-    return idx
+    old = f"{d}.old-{os.getpid()}"
+    if os.path.isdir(d):
+        os.replace(d, old)  # previous tree stays readable during the swap
+    os.replace(staging, d)
+    shutil.rmtree(old, ignore_errors=True)
+    return SearchIndex.open(d)
 
 
 def search_topk_indexed(sf_dir: str) -> pa.Table:

@@ -62,6 +62,7 @@ def fetch_pages(
     store_refs=None,
     real_time: bool = False,
     rt_epoch: float | None = None,
+    rt_offsets_ref=None,
     store_backend: str = "synthetic",
     user_agent: str = "RayCrawlBot/1.0",
     timeout_s: float = 10.0,
@@ -87,9 +88,33 @@ def fetch_pages(
     if real_time:
         if rt_epoch is None:  # standalone use: anchor at first call per worker
             rt_epoch = time.time()
-        order = pc.sort_indices(batch.column("fetch_at_ms"))
-        batch = batch.take(order)
-        slots = batch.column("fetch_at_ms").to_pylist()
+        # per-host slot offsets (resume rebase, pipelines/crawl.py): a host's
+        # wall-due time is rt_epoch + (slot - offset[host]); offsets are the
+        # clocks restored from the prior run, zero on a fresh crawl
+        offsets: dict[str, int] = {}
+        if rt_offsets_ref is not None:
+            from distributed_web_crawling_system_ray.stages.cache import (
+                get_object,
+            )
+
+            offsets = get_object(rt_offsets_ref)
+        if offsets and "host" in batch.column_names:
+            eff = np.asarray(
+                [
+                    int(s) - offsets.get(h, 0)
+                    for s, h in zip(
+                        batch.column("fetch_at_ms").to_pylist(),
+                        batch.column("host").to_pylist(),
+                    )
+                ],
+                dtype=np.int64,
+            )
+            batch = batch.take(pa.array(np.argsort(eff, kind="stable")))
+            slots = np.sort(eff).tolist()
+        else:
+            order = pc.sort_indices(batch.column("fetch_at_ms"))
+            batch = batch.take(order)
+            slots = batch.column("fetch_at_ms").to_pylist()
         canons = batch.column("canon").to_pylist()
         res: dict[str, list] = {
             "status": [],

@@ -212,16 +212,23 @@ def sample_video_frames(batch: pa.Table, *, every_nth: int = 30) -> pa.Table:
     for vid, blob in zip(
         batch.column("video_id").to_pylist(), batch.column("bytes").to_pylist()
     ):
+        # buffer per video so a mid-stream decode failure (truncated
+        # container, one corrupt frame) drops the WHOLE video like a failed
+        # fetch — never a partial row set
+        v_idxs: list[int] = []
+        v_frames: list[bytes] = []
         try:
             for idx, fb in iter_mjpg_frames(blob):
                 if idx % every_nth:
                     continue  # skipped frames are never decoded (seek)
                 px, _ = decode_image(fb)
-                ids.append(vid)
-                idxs.append(idx)
-                frames.append(encode_png(px))
+                v_idxs.append(idx)
+                v_frames.append(encode_png(px))
         except Exception:
             continue  # undecodable payload == failed fetch
+        ids.extend([vid] * len(v_idxs))
+        idxs.extend(v_idxs)
+        frames.extend(v_frames)
     return pa.table(
         {
             "video_id": pa.array(ids, pa.string()),

@@ -110,6 +110,62 @@ def test_bulk_politeness_is_host_spaced(bulk_t1, tmp_path_factory):
         assert all(g >= robots.delay_ms(h) for g in gaps), h
 
 
+def test_real_time_resume_rebases_per_host(ray_session):
+    """Resume rebase (r2 ADVICE + r3 review): with per-host slot offsets, a
+    restored host's backlog does not cause a wall sleep through the prior
+    run's schedule, and within-host spacing is still enforced relative to
+    its own offset."""
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+    from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
+    from distributed_web_crawling_system_ray.stages.fetch import fetch_pages
+
+    fixture = build_fixture("t1")
+    pages = pq.read_table(fixture + "/web_pages.parquet", columns=["url", "host"])
+    url = pages.column("url")[0].as_py()
+    host = pages.column("host")[0].as_py()
+    store_refs = (
+        ray.put(pq.read_table(fixture + "/web_pages.parquet")),
+        ray.put(pq.read_table(fixture + "/robots.parquet")),
+        ray.put(pq.read_table(fixture + "/images.parquet")),
+    )
+    # two fetches for one host whose restored clock is 60 s of virtual time:
+    # without the per-host rebase this would sleep ~60 s; with it, only the
+    # 1 s gap between the two slots remains
+    batch = pa.table(
+        {
+            "url": pa.array([url, url]),
+            "canon": pa.array([url, url]),
+            "url_hash": pa.array(np.zeros(2, np.uint64), pa.uint64()),
+            "host": pa.array([host, host]),
+            "depth": pa.array([0, 0], pa.int32()),
+            "rank_path": pa.array(
+                [int(i).to_bytes(RANK_BYTES, "big") for i in range(2)], pa.binary()
+            ),
+            "verdict": pa.array([0, 0], pa.int8()),
+            "fetch_at_ms": pa.array([60000, 61000], pa.int64()),
+        }
+    )
+    offsets_ref = ray.put({host: 60000})
+    t0 = _time.time()
+    out = fetch_pages(
+        batch,
+        store_refs=store_refs,
+        real_time=True,
+        rt_epoch=_time.time(),
+        rt_offsets_ref=offsets_ref,
+    )
+    wall = _time.time() - t0
+    assert out.num_rows == 2
+    assert 0.9 <= wall < 10.0, wall  # ~1 s inter-slot gap, not 60 s backlog
+
+
 def test_real_time_politeness_throttles_wall_clock(ray_session, tmp_path_factory):
     """Opt-in wall-clock replay: with real_time_politeness=True the fetch
     stage sleeps to its virtual schedule, so a host with N allowed fetches

@@ -20,11 +20,22 @@ def _texts():
     return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
-def test_tokenizer_matches_v1_regex_and_stem_idempotent():
-    from hypothesis import given
+def test_tokenizer_matches_v1_regex_and_stem_sql_parity():
+    """Tokenizer == v1 regex; pinned stem examples; and the property that
+    actually backs the hash-checked oracle: Python ``_stem`` and the DuckDB
+    ``STEM_SQL_CASE`` chain agree token-for-token.  (Idempotence is NOT the
+    contract — both index and query sides stem exactly once, like Whoosh;
+    any single-pass stripper composes non-trivially, e.g.
+    'aaases'->'aaas'->'aaa'.)"""
+    import duckdb
+    from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from distributed_web_crawling_system_ray.pipelines.search import _stem, tokenize
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        STEM_SQL_CASE,
+        _stem,
+        tokenize,
+    )
 
     s = "The QUICK brown_fox, jumps-over 42 lazy dogs!  rapid: merge;"
     assert tokenize(s) == re.findall(r"[a-z0-9_]+", s.lower())
@@ -32,14 +43,35 @@ def test_tokenizer_matches_v1_regex_and_stem_idempotent():
     assert _stem("merging") == "merg"
     assert _stem("es") == "es"  # too short to strip
     assert _stem("class") == "class"  # ss-guard: bare 's' not stripped
-    assert _stem(_stem("classed")) == _stem("classed")  # 'class' is a fixpoint
-    assert _stem(_stem("pressed")) == _stem("pressed")
+    assert _stem("classes") == "class"
+    assert _stem("supposedly") == "suppos"
+    assert _stem("markedly") == "mark"
+    assert _stem("edly") == "edly"  # 'edly' needs a >=3-char stem left
 
+    # bulk SQL-parity sample (one DuckDB call; hypothesis drives the corners)
+    import random
+
+    rng = random.Random(0)
+    toks = [
+        "".join(rng.choice("abcdefgsinedly") for _ in range(rng.randint(1, 12)))
+        for _ in range(3000)
+    ] + ["classes", "pressed", "aaases", "dddsing", "s", "ss", "sss", "inging"]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT t, {STEM_SQL_CASE} AS s FROM (SELECT unnest(?) AS t)", [toks]
+    ).fetchall()
+    for tok, sql_stem in got:
+        assert sql_stem == _stem(tok), tok
+
+    @settings(max_examples=200)
     @given(st.text(alphabet="abcdefgsinedly", min_size=1, max_size=12))
-    def stem_is_idempotent(tok):
-        assert _stem(_stem(tok)) == _stem(tok)
+    def stem_sql_parity(tok):
+        (got,) = con.execute(
+            f"SELECT {STEM_SQL_CASE} FROM (SELECT ? AS t)", [tok]
+        ).fetchone()
+        assert got == _stem(tok)
 
-    stem_is_idempotent()
+    stem_sql_parity()
 
 
 def test_term_df_matches_bruteforce():
