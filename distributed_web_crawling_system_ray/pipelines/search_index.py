@@ -542,40 +542,62 @@ class SearchIndex:
         """Per-term document frequency for a query — pruned partitions only."""
         return self._df_from_parts(self._matched_parts(terms), terms)
 
-    def topk(self, terms: list[str], k: int = 20) -> pa.Table:
+    def topk(
+        self, terms: list[str], k: int = 20, driver_row_limit: int = 2_000_000
+    ) -> pa.Table:
         """Integer TF-IDF top-k from the persisted index (same contract as
         ``search.search_topk``: rank by score DESC, doc_id ASC; v3 fallback
         snippet).  Docs with zero matching terms pad the tail (doc_id ASC,
         score 0) when fewer than k docs match — the direct pipeline's
-        local-topk does the same implicitly."""
-        n = int(self.meta["live_docs"])
-        parts = self._matched_parts(terms)
-        df = self._df_from_parts(parts, terms)
-        idf = {
-            t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0 for t in terms
-        }
-        scored: dict[int, int] = {}
-        if parts:
-            # per-doc score: a doc's rows can span term partitions -> fold
-            # by doc_id (vectorized; the fold is bounded by the number of
-            # MATCHED docs — a groupby(doc_id) Dataset fold is the swap-in
-            # above driver scale)
-            import pandas as pd
+        local-topk does the same implicitly.
 
-            for t in parts:
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                tf = t.column("tf").to_numpy(zero_copy_only=False)
-                contrib = tf * pd.Series(t.column("term").to_pylist()).map(
-                    idf
-                ).to_numpy(dtype=np.int64)
-                for d, s in pd.Series(contrib).groupby(ids).sum().items():
-                    scored[int(d)] = scored.get(int(d), 0) + int(s)
-        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        Scale-adaptive scoring: the matched postings row count decides (a
+        parquet-metadata check on the materialized pruned Dataset) — a
+        driver fold below ``driver_row_limit``, else the distributed path
+        (``groupby(doc_id)`` + per-block local top-k + tiny merge), because
+        a STOPWORD query matches the whole corpus and must never fold on
+        the driver."""
+        n = int(self.meta["live_docs"])
+        ds = self._pruned_postings(terms)
+        n_rows = ds.count() if ds is not None else 0
+        scored: dict[int, int] = {}
+        if ds is not None and n_rows > driver_row_limit:
+            ranked = self._topk_distributed(ds, terms, n, k)
+            exclude = {d for d, _ in ranked}
+        else:
+            parts = (
+                [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+                if ds is not None
+                else []
+            )
+            df = self._df_from_parts(parts, terms)
+            idf = {
+                t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0
+                for t in terms
+            }
+            if parts:
+                # per-doc score: a doc's rows can span term partitions ->
+                # vectorized fold by doc_id, bounded by driver_row_limit
+                import pandas as pd
+
+                for t in parts:
+                    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                    tf = t.column("tf").to_numpy(zero_copy_only=False)
+                    contrib = tf * pd.Series(t.column("term").to_pylist()).map(
+                        idf
+                    ).to_numpy(dtype=np.int64)
+                    for d, s in pd.Series(contrib).groupby(ids).sum().items():
+                        scored[int(d)] = scored.get(int(d), 0) + int(s)
+            ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            # matched docs always score > 0 (their term's df > 0), so the
+            # zero-score tail must exclude every matched doc, not just the
+            # ranked ones
+            exclude = set(scored)
         if len(ranked) < k:
             ranked += [
                 (int(d), 0)
                 for d in self._live_doc_ids_ascending(
-                    exclude=set(scored), want=k - len(ranked)
+                    exclude=exclude, want=k - len(ranked)
                 )
             ]
         ids = [d for d, _ in ranked]
@@ -589,6 +611,91 @@ class SearchIndex:
                 "score": pa.array([s for _, s in ranked], pa.int64()),
                 "snippet": pa.array([snips.get(d, "") for d in ids], pa.string()),
             }
+        )
+
+    def _topk_distributed(
+        self, ds: "ray.data.Dataset", terms: list[str], n: int, k: int
+    ) -> list[tuple[int, int]]:
+        """Stopword-scale scoring: df via per-batch partials (driver folds Q
+        ints), per-doc score via ``groupby(doc_id).sum``, then per-block
+        local top-k and a tiny driver merge — the driver never sees more
+        than blocks x k rows.  Same shape as the direct pipeline's
+        local-topk; pytest pins equality with the driver fold at limit=0."""
+        from ray.data.aggregate import Sum
+
+        term_list = sorted(set(terms))
+
+        def df_partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                np.asarray(batch.column("term").to_pylist()), return_counts=True
+            )
+            return pa.table(
+                {
+                    "term": pa.array(u.tolist(), pa.string()),
+                    "pdf": pa.array(c, pa.int64()),
+                }
+            )
+
+        df = {t: 0 for t in term_list}
+        for t in ray.get(
+            ds.map_batches(df_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ):
+            for term, c in zip(
+                t.column("term").to_pylist(), t.column("pdf").to_pylist()
+            ):
+                df[term] = df.get(term, 0) + int(c)
+        idf = {
+            t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0
+            for t in term_list
+        }
+
+        def add_score(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            contrib = tf * pd.Series(batch.column("term").to_pylist()).map(
+                idf
+            ).to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "score_part": pa.array(contrib, pa.int64()),
+                }
+            )
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                batch,
+                sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+            )
+            return batch.take(order.slice(0, k))
+
+        tops = [
+            t
+            for t in ray.get(
+                ds.map_batches(add_score, batch_format="pyarrow")
+                .groupby("doc_id")
+                .aggregate(Sum("score_part", alias_name="score"))
+                .map_batches(local_topk, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not tops:
+            return []
+        merged = pa.concat_tables(tops)
+        order = pc.sort_indices(
+            merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        top = merged.take(order.slice(0, k))
+        return list(
+            zip(
+                (int(x) for x in top.column("doc_id").to_pylist()),
+                (int(x) for x in top.column("score").to_pylist()),
+            )
         )
 
     def and_terms(self, terms: list[str]) -> pa.Table:

@@ -155,6 +155,19 @@ def test_compact_preserves_queries(ray_session, tmp_path, corpus):
     assert idx2.topk(TERMS).equals(before[0])
 
 
+def test_distributed_topk_path_matches_driver_fold(ray_session, tmp_path, corpus):
+    """Stopword-scale scoring path (groupby(doc_id) + local top-k + merge,
+    forced via driver_row_limit=0) returns exactly the driver-fold result —
+    including a high-df term so many docs match."""
+    sub1, sub2, merged = corpus
+    idx = SearchIndex.create(str(tmp_path / "idx_dtk"))
+    idx.update(_docs_table(merged))
+    for terms in (TERMS, ["the", "data"], ["customer"]):
+        a = idx.topk(terms, k=10)
+        b = idx.topk(terms, k=10, driver_row_limit=0)
+        assert a.equals(b), terms
+
+
 def test_zero_match_query_pads_with_ascending_ids(ray_session, tmp_path):
     rows = {i: "alpha beta gamma" for i in range(5)}
     idx = SearchIndex.create(str(tmp_path / "idx_z"))
