@@ -105,6 +105,15 @@ def _schedule_phase(chunks, store_refs, cfg) -> "ray.data.Dataset":
     n = allowed.count()
     if n == 0:
         return allowed
+    # Repartition ONLY when some host-chunk is big enough to straggle a
+    # worker: the rebalance is an all-to-all pass (~1 s at bench scale,
+    # measured) and pure overhead when every block is well under a worker's
+    # share.  Chunk sizes are known driver-side (the blocks were cut from
+    # driver-held tables), so the decision costs nothing.
+    sizes = [c.num_rows for c in chunks]
+    avail = max(1, int(ray.cluster_resources().get("CPU", 1)))
+    if max(sizes) * 2 * avail <= sum(sizes):
+        return allowed
     n_blocks = max(1, min(max(1, len(chunks)), n // 256 + 1))
     # materialize so the downstream count()/fetch build on pinned blocks
     # instead of re-executing the repartition

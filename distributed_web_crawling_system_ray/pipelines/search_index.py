@@ -698,17 +698,45 @@ class SearchIndex:
             )
         )
 
-    def and_terms(self, terms: list[str]) -> pa.Table:
+    def and_terms(
+        self, terms: list[str], driver_row_limit: int = 2_000_000
+    ) -> pa.Table:
         """doc_ids containing ALL terms (v1 posting-list AND, D5) from the
-        pruned partitions."""
-        parts = self._matched_parts(terms)
+        pruned partitions.  Above ``driver_row_limit`` matched rows the
+        intersection runs as a distributed ``groupby(doc_id).count == Q``
+        so the candidate rows never concentrate on the driver (only the
+        intersection RESULT does — it is the output)."""
+        q = len(set(terms))
+        ds = self._pruned_postings(terms)
+        if ds is None:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        if ds.count() > driver_row_limit:
+            from ray.data.aggregate import Count
+
+            hits_ds = (
+                ds.groupby("doc_id")
+                .aggregate(Count(alias_name="n_terms"))
+                .map_batches(
+                    lambda t: t.filter(pc.equal(t["n_terms"], q)).select(
+                        ["doc_id"]
+                    ),
+                    batch_format="pyarrow",
+                )
+            ).materialize()
+            parts = [t for t in ray.get(hits_ds.to_arrow_refs()) if t.num_rows]
+            if not parts:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return (
+                pa.concat_tables(parts).combine_chunks().sort_by("doc_id")
+            )
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
         if not parts:
             return pa.table({"doc_id": pa.array([], pa.int64())})
         all_ids = np.concatenate(
             [t.column("doc_id").to_numpy(zero_copy_only=False) for t in parts]
         )
         ids_u, counts = np.unique(all_ids, return_counts=True)
-        hits = np.sort(ids_u[counts == len(set(terms))])
+        hits = np.sort(ids_u[counts == q])
         return pa.table({"doc_id": pa.array(hits, pa.int64())})
 
     def term_df(self) -> pa.Table:

@@ -166,6 +166,9 @@ def test_distributed_topk_path_matches_driver_fold(ray_session, tmp_path, corpus
         a = idx.topk(terms, k=10)
         b = idx.topk(terms, k=10, driver_row_limit=0)
         assert a.equals(b), terms
+        c = idx.and_terms(terms)
+        d = idx.and_terms(terms, driver_row_limit=0)
+        assert c.column("doc_id").to_pylist() == d.column("doc_id").to_pylist()
 
 
 def test_zero_match_query_pads_with_ascending_ids(ray_session, tmp_path):
