@@ -18,6 +18,19 @@ Sustained fetch+decode throughput pass::
 
     python -m distributed_web_crawling_system_ray.main sustained --scale bench
 
+Build / incrementally update a persistent search index, then query it
+(the reference indexer's submit + ``/search`` surface,
+``indexer/indexer_node.py:83-106,151-183``)::
+
+    python -m distributed_web_crawling_system_ray.main index \
+        --docs /root/testdata/sf0.01/documents.parquet --index-dir /tmp/idx
+    python -m distributed_web_crawling_system_ray.main index \
+        --docs new_batch.parquet --index-dir /tmp/idx          # upsert
+    python -m distributed_web_crawling_system_ray.main search \
+        --index-dir /tmp/idx --query "customer join window" -k 20
+    python -m distributed_web_crawling_system_ray.main search \
+        --index-dir /tmp/idx --query "customer join" --mode and
+
 Replaces the reference's three CLI surfaces (master/crawler/indexer argparse,
 ``master/master_node.py:276-289`` etc.) with one job entry; a job owns its
 Ray session (guarded init) as the driver contract requires.
@@ -63,8 +76,72 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--out-dir", default=None)
     ps.add_argument("--num-cpus", type=int, default=None)
 
+    pi = sub.add_parser(
+        "index", help="build or incrementally update a persistent search index"
+    )
+    pi.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    pi.add_argument("--index-dir", required=True)
+    pi.add_argument("--compact", action="store_true", help="merge generations")
+    pi.add_argument("--num-cpus", type=int, default=None)
+
+    pq_ = sub.add_parser("search", help="query a persistent search index")
+    pq_.add_argument("--index-dir", required=True)
+    pq_.add_argument("--query", required=True, help="space-separated terms")
+    pq_.add_argument("-k", type=int, default=20)
+    pq_.add_argument(
+        "--mode", default="topk", choices=["topk", "and", "df"],
+        help="topk = scored TF-IDF; and = posting-list AND; df = term dfs",
+    )
+    pq_.add_argument(
+        "--stem", action="store_true",
+        help="stem query terms (v3 StemmingAnalyzer contract)",
+    )
+    pq_.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(getattr(args, "num_cpus", None))
+
+    if args.cmd == "index":
+        import os
+
+        from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
+
+        if os.path.exists(os.path.join(args.index_dir, "meta.json")):
+            idx = SearchIndex.open(args.index_dir)
+        else:
+            idx = SearchIndex.create(args.index_dir)
+        stats = idx.update(args.docs)
+        if args.compact:
+            stats["compact"] = idx.compact()
+        stats["live_docs"] = idx.meta["live_docs"]
+        stats["generations"] = len(idx.meta["generations"])
+        print(json.dumps(stats))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "search":
+        from distributed_web_crawling_system_ray.pipelines.search import (
+            _stem,
+            tokenize,
+        )
+        from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
+
+        idx = SearchIndex.open(args.index_dir)
+        terms = tokenize(args.query)
+        if args.stem:
+            terms = [_stem(t) for t in terms]
+        if args.mode == "topk":
+            out = idx.topk(terms, args.k).to_pylist()
+        elif args.mode == "and":
+            out = idx.and_terms(terms).column("doc_id").to_pylist()
+        else:
+            out = idx.query_df(terms)
+        print(json.dumps({"terms": terms, "result": out}))
+        import ray
+
+        ray.shutdown()
+        return 0
 
     from distributed_web_crawling_system_ray.config import CrawlConfig
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
