@@ -354,7 +354,30 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
             "FROM events GROUP BY event_type"
         ),
-        # doc_simhash_pairs / ann_topk_lsh: rows-only by design (sketch
-        # thresholds are not ANSI-SQL reducible); their correctness is
-        # pytest-asserted against exact ground truth (tests/test_dataops.py).
+        # the full simhash computation in SQL: md5-high64 token hashes,
+        # per-bit sign sums, sig reassembly, brute-force Hamming join.
+        # Banding in the Ray path is pigeonhole-exact for Hamming <= 3, so
+        # the brute-force oracle is the same set.
+        "doc_simhash_pairs": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x != '')) AS w "
+            "FROM documents), "
+            "th AS (SELECT doc_id, "
+            "CAST(concat('0x', substring(md5(w), 1, 16)) AS UBIGINT) AS h "
+            "FROM tok), "
+            "bi AS (SELECT doc_id, g.i, "
+            "sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM th, (SELECT unnest(generate_series(0, 63)) AS i) g "
+            "GROUP BY doc_id, g.i), "
+            "sig0 AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << i) "
+            "ELSE 0::UBIGINT END) AS sig FROM bi GROUP BY doc_id), "
+            "sig AS (SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig "
+            "FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id) "
+            "SELECT a.doc_id AS a, b.doc_id AS b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+        ),
+        # ann_topk_lsh: rows-only by design (hyperplane-LSH bucketing is not
+        # ANSI-SQL reducible); recall is pytest-asserted against exact brute
+        # force (tests/test_dataops.py).
     }

@@ -595,10 +595,21 @@ def _ordered_id_pairs(ids: np.ndarray, ii: np.ndarray, jj: np.ndarray):
     return np.where(swap, b, a), np.where(swap, a, b)
 
 
+def _h64_md5(s: str) -> int:
+    """md5 high-64 token hash for SimHash — chosen over blake2b so the
+    WHOLE simhash computation is DuckDB-expressible (md5 + hex-literal
+    cast), making doc_simhash_pairs a hash-checked query.  Banding recall
+    is pigeonhole-EXACT for Hamming <= 3, so the hash choice cannot lose
+    pairs."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def _simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
-    hs = _h64_arr(tokens)
+    hs = np.fromiter(
+        (_h64_md5(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int32
     )
