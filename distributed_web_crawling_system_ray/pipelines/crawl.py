@@ -131,6 +131,26 @@ def _read_table_any(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
+def _expand_parquet_paths(paths: list[str]) -> list[str]:
+    """Flatten directories into their parquet files: a LIST passed to
+    ``read_parquet`` is treated as file paths (a directory entry raises
+    'Cannot open for reading: ... is a directory'), while a single dir path
+    would work — mixed manifests (Dataset-written dir + injected file) need
+    explicit expansion."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out.extend(
+                    os.path.join(root, f)
+                    for f in sorted(files)
+                    if f.endswith(".parquet")
+                )
+        else:
+            out.append(p)
+    return out
+
+
 def _parquet_num_rows(path: str) -> int:
     """Row count from parquet footers only (file or directory)."""
     if os.path.isdir(path):
@@ -554,7 +574,7 @@ def run_crawl(
         else:  # cluster-scale frontier: Dataset-native shuffle
             n_blocks = max(1, min(256, frontier.num_rows // 512 + 1))
             fr_ds = ray.data.read_parquet(
-                fr_paths, override_num_blocks=n_blocks
+                _expand_parquet_paths(fr_paths), override_num_blocks=n_blocks
             )
             schedule_ds = fr_ds.groupby("host").map_groups(
                 schedule_host_group,

@@ -159,6 +159,60 @@ def test_url_injection_between_rounds(ray_session, tmp_path_factory):
     assert payload["image_id"].is_unique
 
 
+def test_url_injection_onto_distributed_frontier(ray_session, tmp_path_factory):
+    """Injection when the frontier is DIR-backed (cluster layout,
+    driver_partition_limit=0): injected rows land as an extra parquet piece
+    beside the Dataset-written frontier and crawl exactly like the
+    driver-table path."""
+    import os
+
+    from distributed_web_crawling_system_ray.oracle import crawl_oracle
+    from distributed_web_crawling_system_ray.pipelines.crawl import run_crawl
+
+    fixture = build_fixture("t1")
+    store = WebStore(fixture)
+    oracle = crawl_oracle(store)
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture, "web_pages.parquet"))
+    orphan = next(
+        (
+            url
+            for url, status in zip(
+                pages.column("url").to_pylist(), pages.column("status").to_pylist()
+            )
+            if status == 200 and url not in oracle.seen
+        ),
+        None,
+    )
+    assert orphan is not None
+    work = str(tmp_path_factory.mktemp("crawl_inject_dist"))
+    # partial run creates the dir-backed frontier layout...
+    partial = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, driver_partition_limit=0, max_rounds=1),
+        work_dir=work,
+    )
+    assert partial.rounds == 1
+    # ...then the injected URL arrives between rounds and the crawl resumes
+    os.makedirs(os.path.join(work, "inject"))
+    with open(os.path.join(work, "inject", "late.txt"), "w") as f:
+        f.write(orphan + "\n")
+    result = run_crawl(
+        fixture,
+        CrawlConfig(seen_shards=2, driver_partition_limit=0),
+        work_dir=work,
+        resume=True,
+    )
+    hist = result.frontier_history()
+    got = set(hist.column("canon").to_pylist())
+    assert orphan in got
+    assert got >= set(oracle.seen.keys())
+    assert hist.filter(pc.equal(hist.column("canon"), orphan)).num_rows == 1
+    payload = result.payload_dataset().to_pandas()
+    assert payload["image_id"].is_unique
+
+
 def test_groupby_exchange_path_matches_oracle(ray_session, tmp_path_factory):
     """The Dataset-native groupby(host) exchange (cluster-scale path,
     forced via driver_partition_limit=0) produces the same seen set, order,
