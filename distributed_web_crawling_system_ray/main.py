@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     pi.add_argument("--index-dir", required=True)
     pi.add_argument("--compact", action="store_true", help="merge generations")
+    pi.add_argument(
+        "--stem", action="store_true",
+        help="build a STEMMED index (v3 StemmingAnalyzer contract; both "
+        "index and query sides stem — queries detect this automatically). "
+        "Only honored at creation; updates reuse the index's setting.",
+    )
     pi.add_argument("--num-cpus", type=int, default=None)
 
     pq_ = sub.add_parser("search", help="query a persistent search index")
@@ -90,11 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("-k", type=int, default=20)
     pq_.add_argument(
         "--mode", default="topk", choices=["topk", "and", "df"],
-        help="topk = scored TF-IDF; and = posting-list AND; df = term dfs",
-    )
-    pq_.add_argument(
-        "--stem", action="store_true",
-        help="stem query terms (v3 StemmingAnalyzer contract)",
+        help="topk = scored TF-IDF; and = posting-list AND; df = term dfs. "
+        "Query terms stem automatically iff the index was built --stem.",
     )
     pq_.add_argument("--num-cpus", type=int, default=None)
 
@@ -109,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(os.path.join(args.index_dir, "meta.json")):
             idx = SearchIndex.open(args.index_dir)
         else:
-            idx = SearchIndex.create(args.index_dir)
+            idx = SearchIndex.create(args.index_dir, stem=args.stem)
         stats = idx.update(args.docs)
         if args.compact:
             stats["compact"] = idx.compact()
@@ -121,23 +124,19 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return 0
     if args.cmd == "search":
-        from distributed_web_crawling_system_ray.pipelines.search import (
-            _stem,
-            tokenize,
-        )
+        from distributed_web_crawling_system_ray.pipelines.search import tokenize
         from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
 
         idx = SearchIndex.open(args.index_dir)
+        # raw v1 tokens; the index stems them itself iff it was built stemmed
         terms = tokenize(args.query)
-        if args.stem:
-            terms = [_stem(t) for t in terms]
         if args.mode == "topk":
             out = idx.topk(terms, args.k).to_pylist()
         elif args.mode == "and":
             out = idx.and_terms(terms).column("doc_id").to_pylist()
         else:
             out = idx.query_df(terms)
-        print(json.dumps({"terms": terms, "result": out}))
+        print(json.dumps({"terms": idx._prep_terms(terms), "result": out}))
         import ray
 
         ray.shutdown()

@@ -120,6 +120,12 @@ def _schedule_phase(chunks, store_refs, cfg) -> "ray.data.Dataset":
         allowed = schedule.materialize()
     finally:
         ctx.target_max_block_size = prev
+    # the dataset CAPTURED the shrunken context at creation and every
+    # derived dataset inherits it — restoring the global alone would leave
+    # the 160 KB cap governing the whole downstream fetch+decode+write
+    # phase, shredding image-payload outputs into tiny blocks and one
+    # mini parquet file per block (r3 review, verified on Ray 2.49)
+    allowed.context.target_max_block_size = prev
     return allowed
 
 

@@ -53,6 +53,7 @@ import ray.data
 
 from distributed_web_crawling_system_ray.pipelines.search import (
     _TOKEN,
+    _stem,
     IDF_SCALE,
     SNIPPET_CHARS,
 )
@@ -92,7 +93,11 @@ class SearchIndex:
         n_parts: int = 32,
         n_dparts: int = 16,
         driver_id_limit: int = 2_000_000,
+        stem: bool = False,
     ) -> "SearchIndex":
+        """``stem=True`` builds a STEMMED index (the v3 StemmingAnalyzer
+        contract): document tokens stem at index time and query terms stem
+        at query time — both sides, exactly once, like Whoosh."""
         if os.path.isdir(index_dir):
             shutil.rmtree(index_dir)
         os.makedirs(index_dir)
@@ -100,6 +105,7 @@ class SearchIndex:
             "n_parts": n_parts,
             "n_dparts": n_dparts,
             "driver_id_limit": driver_id_limit,
+            "stem": stem,
             "generations": [],
             "live_docs": 0,
         }
@@ -147,6 +153,31 @@ class SearchIndex:
         os.makedirs(os.path.join(gd, "docs"))
         n_parts = self.meta["n_parts"]
         n_dparts = self.meta["n_dparts"]
+        stem = bool(self.meta.get("stem", False))
+
+        docs_mat = docs.materialize()
+        # this submission's ids (ids only, 8 B/doc like the crawl admission
+        # path) — pulled FIRST so within-submission duplicate doc_ids can be
+        # detected and collapsed before any postings are built (r3 review:
+        # duplicate same-generation postings both pass the live filter,
+        # breaking AND counts and double-counting tf)
+        id_parts = [
+            t
+            for t in ray.get(
+                docs_mat.select_columns(["doc_id"]).materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        all_ids = (
+            np.concatenate(
+                [t.column("doc_id").to_numpy(zero_copy_only=False) for t in id_parts]
+            )
+            if id_parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        new_ids = np.unique(all_ids)
+        if len(new_ids) != len(all_ids):
+            docs_mat = self._collapse_submission_dups(docs_mat)
 
         # one tokenize pass -> postings rows (term, doc_id, tf) + per-doc
         # rows (n_tokens, snippet); both leave the worker as Arrow, the text
@@ -161,6 +192,8 @@ class SearchIndex:
             ):
                 counts: dict[str, int] = {}
                 for tok in _TOKEN.findall(text.lower()):
+                    if stem:
+                        tok = _stem(tok)
                     counts[tok] = counts.get(tok, 0) + 1
                 terms.extend(counts.keys())
                 dids.extend([did] * len(counts))
@@ -194,8 +227,6 @@ class SearchIndex:
                 }
             )
 
-        docs_mat = docs.materialize()
-
         def _write_group(dir_name: str, name_prefix: str, key: str):
             def write(group: pa.Table) -> pa.Table:
                 p = int(group.column(key)[0].as_py())
@@ -224,24 +255,6 @@ class SearchIndex:
             .materialize()
         )
 
-        # this submission's ids (distributed write -> driver fold of ids
-        # only; ids are 8 B/doc like the crawl admission path)
-        id_parts = [
-            t
-            for t in ray.get(
-                docs_mat.select_columns(["doc_id"]).materialize().to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        new_ids = (
-            np.unique(
-                np.concatenate(
-                    [t.column("doc_id").to_numpy(zero_copy_only=False) for t in id_parts]
-                )
-            )
-            if id_parts
-            else np.zeros(0, dtype=np.int64)
-        )
         _atomic_write_table(
             pa.table({"doc_id": pa.array(new_ids, pa.int64())}),
             os.path.join(gd, "doc_ids.parquet"),
@@ -284,6 +297,49 @@ class SearchIndex:
         )
         self._write_meta()
         return {"gen": g, "n_docs": int(len(new_ids)), "n_upserts": int(len(overlap))}
+
+    def _collapse_submission_dups(self, docs_mat) -> "ray.data.Dataset":
+        """One row per doc_id WITHIN a submission (Whoosh update_document is
+        last-write-wins per call; a distributed batch has no defined row
+        order, so the collapse keeps the row with the lexicographically
+        largest md5(text) — deterministic and content-based).  Runs only
+        when duplicate ids were actually detected."""
+        import hashlib as _hl
+
+        P = self.meta["n_dparts"]
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "cpart", pa.array((ids % P).astype(np.int32), pa.int32())
+            )
+
+        def collapse(group: pa.Table) -> pa.Table:
+            ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(np.unique(ids)) == len(ids):
+                return group.drop_columns(["cpart"])
+            texts = group.column("text").to_pylist()
+            th = np.asarray([_hl.md5(t.encode("utf-8")).hexdigest() for t in texts])
+            # sort (doc_id asc, text-hash asc); the LAST row of each id run
+            # holds the max hash — keep it
+            order = np.lexsort((th, ids))
+            _, first_idx = np.unique(ids[order], return_index=True)
+            last_idx = np.r_[first_idx[1:], len(ids)] - 1
+            keep = np.sort(order[last_idx])
+            return group.take(pa.array(keep, pa.int64())).drop_columns(["cpart"])
+
+        return (
+            docs_mat.map_batches(add_part, batch_format="pyarrow")
+            .groupby("cpart")
+            .map_groups(collapse, batch_format="pyarrow")
+        ).materialize()
+
+    def _prep_terms(self, terms: list[str]) -> list[str]:
+        """Query terms stem iff the index was built stemmed — both sides of
+        the match transform identically, the Whoosh contract."""
+        if self.meta.get("stem", False):
+            return [_stem(t) for t in terms]
+        return list(terms)
 
     def _distributed_overlap(self, prior_files: list[str], gd: str) -> np.ndarray:
         """new_ids ∩ prior_ids without driver-side id sets: tag, hash-
@@ -539,7 +595,9 @@ class SearchIndex:
         return out
 
     def query_df(self, terms: list[str]) -> dict[str, int]:
-        """Per-term document frequency for a query — pruned partitions only."""
+        """Per-term document frequency for a query — pruned partitions only.
+        Terms stem first iff the index is stemmed (keys are the stems)."""
+        terms = self._prep_terms(terms)
         return self._df_from_parts(self._matched_parts(terms), terms)
 
     def topk(
@@ -558,6 +616,7 @@ class SearchIndex:
         a STOPWORD query matches the whole corpus and must never fold on
         the driver."""
         n = int(self.meta["live_docs"])
+        terms = self._prep_terms(terms)
         ds = self._pruned_postings(terms)
         n_rows = ds.count() if ds is not None else 0
         scored: dict[int, int] = {}
@@ -706,6 +765,7 @@ class SearchIndex:
         intersection runs as a distributed ``groupby(doc_id).count == Q``
         so the candidate rows never concentrate on the driver (only the
         intersection RESULT does — it is the output)."""
+        terms = self._prep_terms(terms)
         q = len(set(terms))
         ds = self._pruned_postings(terms)
         if ds is None:

@@ -171,6 +171,66 @@ def test_distributed_topk_path_matches_driver_fold(ray_session, tmp_path, corpus
         assert c.column("doc_id").to_pylist() == d.column("doc_id").to_pylist()
 
 
+def test_stemmed_index_matches_both_sides(ray_session, tmp_path):
+    """A stem=True index stems document tokens at build time and query terms
+    at query time (the v3 StemmingAnalyzer contract) — inflected variants
+    match; an unstemmed index does not match them (r3 review: stemming only
+    the query against an unstemmed index silently missed everything)."""
+    rows = {
+        1: "joining customers windows",
+        2: "join customer window",
+        3: "nothing relevant at all",
+    }
+    stemmed = SearchIndex.create(str(tmp_path / "idx_stem"), stem=True)
+    stemmed.update(_docs_table(rows))
+    plain = SearchIndex.create(str(tmp_path / "idx_plain"))
+    plain.update(_docs_table(rows))
+    q = ["customer", "join", "window"]  # raw terms; the index preps them
+    assert sorted(
+        stemmed.and_terms(q).column("doc_id").to_pylist()
+    ) == [1, 2]
+    assert plain.and_terms(q).column("doc_id").to_pylist() == [2]
+    t = stemmed.topk(q, k=3)
+    by_doc = dict(zip(t.column("doc_id").to_pylist(), t.column("score").to_pylist()))
+    assert by_doc[1] > 0 and by_doc[2] > 0 and by_doc[3] == 0
+    # inflected QUERY terms stem to the same stems and match too
+    assert sorted(
+        stemmed.and_terms(["customers", "joins", "windows"])
+        .column("doc_id")
+        .to_pylist()
+    ) == [1, 2]
+
+
+def test_within_submission_duplicate_doc_ids_collapse(ray_session, tmp_path):
+    """Duplicate doc_ids in ONE submission collapse to a single row
+    (deterministic content-hash tiebreak) — without this, duplicate
+    same-generation postings broke AND counts and double-counted tf."""
+    import pyarrow as pa
+
+    idx = SearchIndex.create(str(tmp_path / "idx_dup"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 8], pa.int64()),
+            "text": pa.array(
+                ["customer join window", "customer join window", "customer join"],
+                pa.string(),
+            ),
+        }
+    )
+    stats = idx.update(tbl)
+    assert stats["n_docs"] == 2 and idx.meta["live_docs"] == 2
+    assert idx.and_terms(TERMS).column("doc_id").to_pylist() == [7]
+    t = idx.topk(TERMS, k=2)
+    by_doc = dict(zip(t.column("doc_id").to_pylist(), t.column("score").to_pylist()))
+    # tf counted once, not doubled: doc 7's tf vector is (1,1,1)
+    df = idx.query_df(list(TERMS))
+    n = idx.meta["live_docs"]
+    from distributed_web_crawling_system_ray.pipelines.search import IDF_SCALE
+
+    want7 = sum((n * IDF_SCALE) // df[q] for q in TERMS)
+    assert by_doc[7] == want7
+
+
 def test_zero_match_query_pads_with_ascending_ids(ray_session, tmp_path):
     rows = {i: "alpha beta gamma" for i in range(5)}
     idx = SearchIndex.create(str(tmp_path / "idx_z"))
