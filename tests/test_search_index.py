@@ -201,6 +201,18 @@ def test_stemmed_index_matches_both_sides(ray_session, tmp_path):
     ) == [1, 2]
 
 
+def test_stemmed_index_equals_direct_stemmed_pipeline(ray_session, tmp_path):
+    """A stem=True index over the sf0.001 corpus reproduces
+    search_topk_stemmed (the oracle-green direct pipeline) exactly — the
+    two v3-contract implementations cannot drift."""
+    sf = "/root/testdata/sf0.001"
+    direct = search.search_topk_stemmed(sf)
+    idx = SearchIndex.create(str(tmp_path / "idx_v3"), stem=True)
+    idx.update(sf + "/documents.parquet")
+    got = idx.topk(list(search.QUERY_TERMS), search.TOP_K)
+    assert got.equals(direct)
+
+
 def test_within_submission_duplicate_doc_ids_collapse(ray_session, tmp_path):
     """Duplicate doc_ids in ONE submission collapse to a single row
     (deterministic content-hash tiebreak) — without this, duplicate
