@@ -52,16 +52,25 @@ def _normalize_path(path: str) -> str:
     return norm
 
 
-# whitespace must not survive into the canonical form: str.strip() at the
-# next canonicalization would eat a trailing \x0c/space that is part of the
-# path, breaking idempotence (found by hypothesis) — so percent-encode it.
-_WS_ENC = {c: f"%{ord(c):02X}" for c in " \t\n\r\x0b\x0c"}
+# Stripped-character classes must not survive into the canonical form, or the
+# NEXT canonicalization pass would eat them at string edges and break
+# idempotence (found by hypothesis, twice):
+#   * str.strip() (canonicalize lines below) removes every Unicode-whitespace
+#     codepoint — not just ASCII space/tab but \x1c-\x1f, \x85, \xa0,  ...
+#   * urlsplit (WHATWG C0-control-or-space rule) strips leading/trailing
+#     0x00-0x20 and removes \t\r\n anywhere.
+# So percent-encode (UTF-8 bytes) all C0 controls, 0x20, DEL, and every
+# codepoint with the Unicode whitespace property.  All such codepoints are
+# <= 0x3000, so a bounded scan finds them exactly.
+_WS_TABLE = {
+    cp: "".join(f"%{b:02X}" for b in chr(cp).encode("utf-8"))
+    for cp in range(0x3001)
+    if cp <= 0x20 or cp == 0x7F or chr(cp).isspace()
+}
 
 
 def _encode_ws(s: str) -> str:
-    if not any(c in s for c in _WS_ENC):
-        return s
-    return "".join(_WS_ENC.get(ch, ch) for ch in s)
+    return s.translate(_WS_TABLE)
 
 
 def canonicalize(url: str, base: str | None = None) -> str | None:
