@@ -19,6 +19,62 @@ from typing import Any
 _STOP_IN = "('the','a','of','to','and','in','is','on','for','with')"
 
 
+def _bm25f_sql() -> str:
+    """The integer BM25F oracle (see pipelines/search.py constants for the
+    derivation: contribution = (idf*22*tf_w*tdl) // (10*tdl*tf_w + 3*tdl +
+    9*dl*nd), idf = (nd*1000)//df, tf_w = 2*tf_title + tf_content, dl =
+    2*len_title + len_content).  Field tokens stem via the shared
+    STEM_SQL_CASE so the SQL and Python stemmers cannot drift."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        BOOST_TITLE,
+        IDF_SCALE,
+        QUERY_TERMS,
+        SNIPPET_CHARS,
+        STEM_SQL_CASE,
+        TITLE_CHARS,
+        _stem,
+    )
+
+    terms = [_stem(t) for t in QUERY_TERMS]
+    B = BOOST_TITLE
+    w_cols = ", ".join(
+        f"({B}*len(list_filter(wt, x -> x = '{t}')) + "
+        f"len(list_filter(wc, x -> x = '{t}')))::BIGINT AS w{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN w{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN (10*tdl*w{i} + 3*tdl + 9*dl*nd) > 0 THEN "
+        f"((CASE WHEN df{i} > 0 THEN (nd*{IDF_SCALE})//df{i} ELSE 0 END) "
+        f"* 22 * w{i} * tdl) // (10*tdl*w{i} + 3*tdl + 9*dl*nd) "
+        f"ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, text, source, "
+        f"list_transform(regexp_extract_all(lower(substring(text, 1, {TITLE_CHARS})), "
+        f"'[a-z0-9_]+'), t -> {STEM_SQL_CASE}) AS wt, "
+        f"list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+        f"t -> {STEM_SQL_CASE}) AS wc FROM documents), "
+        "tf AS (SELECT doc_id, text, source, "
+        f"({B}*len(wt) + len(wc))::BIGINT AS dl, {w_cols} FROM tok), "
+        "st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tdl, "
+        f"{df_cols} FROM tf), "
+        f"s AS (SELECT doc_id, text, source, dl, ({contribs})::BIGINT AS score "
+        "FROM tf, st) "
+        'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+        "doc_id, 'doc://' || source || '/' || doc_id AS url, "
+        f"substring(text, 1, {TITLE_CHARS}) AS title, source AS domain, "
+        "'2025-06-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS crawl_date, "
+        f"score, substring(text, 1, {SNIPPET_CHARS}) AS snippet "
+        f"FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: full crawl of the t1 synthetic web (seeds ->
     schedule -> fetch -> dedup -> decode), returning the image+caption
@@ -66,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # v3 stemmed scoring (Whoosh StemmingAnalyzer contract) — the suffix
         # rules are SQL-expressible, so this path is hash-checked too
         "search_topk_stemmed": search.search_topk_stemmed,
+        # v3 BM25F over (title, content) with stored result fields — the
+        # reference's actual ranking model (searcher(weighting=scoring.BM25F)
+        # + MultifieldParser, indexer/indexer_node.py:151-183), integer-exact
+        # (k1=6/5, b=3/4, 2x title boost) so it hash-checks
+        "search_topk_bm25f": search.search_topk_bm25f,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,
@@ -219,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_id, score, substring(text, 1, 200) AS snippet "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
         ),
+        "search_topk_bm25f": _bm25f_sql(),
         "search_and_terms": (
             "SELECT doc_id FROM (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents) "

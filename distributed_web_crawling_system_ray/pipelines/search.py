@@ -107,6 +107,48 @@ TOP_K = 20
 IDF_SCALE = 1000
 SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)
 
+# ---- document-fields model (the reference's Whoosh schema, indexer/
+# indexer_node.py:63-70: url=ID stored unique, title=TEXT, content=TEXT,
+# domain=ID stored, crawl_date=STORED).  The documents fixture has no title/
+# url column, so the fields derive DETERMINISTICALLY from (doc_id, text,
+# source) — identically in Python and in the DuckDB oracle, so BM25F stays
+# hash-checkable:
+#   title      = text[:TITLE_CHARS]   (head surrogate; tokenized separately,
+#                so a token truncated at the cut scores as its prefix)
+#   content    = text                  (full body)
+#   domain     = source                (the reference derives domain from the
+#                url, indexer_node.py:89 — source is the fixture's analog)
+#   url        = "doc://" + source + "/" + doc_id  (content-addressed key)
+#   crawl_date = "2025-06-%02d" % (1 + doc_id % 28) — deterministic stand-in
+#                for the reference's index-time time.strftime (a wall-clock
+#                read would never hash-match)
+TITLE_CHARS = 64
+BM25_TOP_K = 10  # the reference's search() default max_results=10
+
+# BM25F constants as exact rationals so scoring is integer arithmetic end to
+# end (k1 = 6/5, b = 3/4; Whoosh BM25F defaults) with a 2x title boost:
+#   tf_w = BOOST_TITLE*tf_title + tf_content,  dl = BOOST_TITLE*len_title +
+#   len_content,  avgdl = total_dl/N.  Per-term contribution
+#     idf * (k1+1)*tf_w / (tf_w + k1*(1 - b + b*dl/avgdl))
+#   multiplied through by 10*total_dl becomes the all-integer form
+#     (idf * 22*tf_w*total_dl) // (10*total_dl*tf_w + 3*total_dl + 9*dl*N)
+#   which Python and DuckDB floor-divide identically (all terms positive).
+#   int64 bound: idf<=N*1000, so the numerator is ~N*1000*22*tf_w*total_dl —
+#   safe past 10^7 docs of 10^3 tokens; beyond that, rescale IDF_SCALE.
+BOOST_TITLE = 2
+
+
+def derive_title(text: str) -> str:
+    return text[:TITLE_CHARS]
+
+
+def derive_url(doc_id: int, source: str) -> str:
+    return f"doc://{source}/{doc_id}"
+
+
+def derive_crawl_date(doc_id: int) -> str:
+    return f"2025-06-{1 + doc_id % 28:02d}"
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
     from distributed_web_crawling_system_ray.pipelines.dataops import _read_pq
@@ -368,6 +410,195 @@ def search_topk_highlighted(sf_dir: str) -> pa.Table:
         top.schema.get_field_index("snippet"),
         "snippet",
         pa.array([highlight(texts.get(d, "")) for d in ids], pa.string()),
+    )
+
+
+# ----------------------------------------------------------------- BM25F
+
+
+def bm25f_contribution(
+    idf: int, tf_w: int, dl: int, total_dl: int, n: int
+) -> int:
+    """One term's integer BM25F contribution (see the derivation at the
+    constants above).  Shared by the direct pipeline, the persistent index
+    and the pytest oracle-parity checks."""
+    den = 10 * total_dl * tf_w + 3 * total_dl + 9 * dl * n
+    return (idf * 22 * tf_w * total_dl) // den if den > 0 else 0
+
+
+def _bm25f_tf_table(sf_dir: str, terms: list[str]) -> "ray.data.Dataset":
+    """One tokenize pass over (title, content) -> per-doc field tf vectors
+    plus the weighted doc length ``dl``.  Tokens STEM on both fields (the
+    reference's Whoosh StemmingAnalyzer applies to title and content alike,
+    indexer/indexer_node.py:63-70); ``terms`` arrive pre-stemmed."""
+    q = len(terms)
+
+    def tf(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        tft = [np.zeros(nrows, dtype=np.int64) for _ in range(q)]
+        tfc = [np.zeros(nrows, dtype=np.int64) for _ in range(q)]
+        dl = np.zeros(nrows, dtype=np.int64)
+        idx = {t: i for i, t in enumerate(terms)}
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            ctoks = _TOKEN.findall(text.lower())
+            ttoks = _TOKEN.findall(text[:TITLE_CHARS].lower())
+            dl[r] = BOOST_TITLE * len(ttoks) + len(ctoks)
+            for tok in ctoks:
+                i = idx.get(_stem(tok))
+                if i is not None:
+                    tfc[i][r] += 1
+            for tok in ttoks:
+                i = idx.get(_stem(tok))
+                if i is not None:
+                    tft[i][r] += 1
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        for i in range(q):
+            cols[f"tft_{i}"] = pa.array(tft[i], pa.int64())
+            cols[f"tfc_{i}"] = pa.array(tfc[i], pa.int64())
+        cols["dl"] = pa.array(dl, pa.int64())
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(tf, batch_format="pyarrow").materialize()
+
+
+def search_topk_bm25f(sf_dir: str, terms=QUERY_TERMS, k: int = BM25_TOP_K) -> pa.Table:
+    """Field-weighted BM25 top-k over (title, content) with stored result
+    fields — the reference's ``searcher(weighting=scoring.BM25F)`` +
+    ``MultifieldParser(["title","content"])`` search surface
+    (indexer/indexer_node.py:151-183), integer-exact so it hash-checks.
+
+    Returns (rank, doc_id, url, title, domain, crawl_date, score, snippet) —
+    the reference's result dict (indexer_node.py:174-181) as columns, ranked
+    by (score DESC, doc_id ASC).
+
+    Scale shape: same as ``search_topk`` — one tokenize pass, per-batch
+    partial (n, total_dl, df) folds, local-topk + tiny merge; the stored
+    fields come from a pruned read of the k winners only.
+    """
+    q_terms = [_stem(t) for t in terms]
+    q = len(q_terms)
+    tf_ds = _bm25f_tf_table(sf_dir, q_terms)
+
+    # partial fold: corpus size, total weighted length, per-term df
+    # (df counts docs where the term appears in EITHER field)
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "tdl": pa.array([int(pc.sum(batch.column("dl")).as_py() or 0)], pa.int64()),
+        }
+        for i in range(q):
+            w = BOOST_TITLE * batch.column(f"tft_{i}").to_numpy() + batch.column(
+                f"tfc_{i}"
+            ).to_numpy()
+            row[f"df_{i}"] = pa.array([int((w > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = [
+        t
+        for t in ray.get(
+            tf_ds.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        n, total_dl, df = 0, 0, np.zeros(q, dtype=np.int64)
+    else:
+        folded = pa.concat_tables(parts)
+        n = int(pc.sum(folded.column("n")).as_py() or 0)
+        total_dl = int(pc.sum(folded.column("tdl")).as_py() or 0)
+        df = np.array(
+            [int(pc.sum(folded.column(f"df_{i}")).as_py() or 0) for i in range(q)],
+            dtype=np.int64,
+        )
+    idf = np.where(df > 0, (n * IDF_SCALE) // np.maximum(df, 1), 0).astype(np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy()
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        den_base = 3 * total_dl + 9 * dl * n
+        for i in range(q):
+            tf_w = BOOST_TITLE * batch.column(f"tft_{i}").to_numpy() + batch.column(
+                f"tfc_{i}"
+            ).to_numpy()
+            den = 10 * total_dl * tf_w + den_base
+            num = idf[i] * 22 * tf_w * total_dl
+            score += np.where(den > 0, num // np.maximum(den, 1), 0)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(order.slice(0, k))
+
+    parts = [
+        t
+        for t in ray.get(
+            tf_ds.map_batches(local_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "title": pa.array([], pa.string()),
+            "domain": pa.array([], pa.string()),
+            "crawl_date": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string()),
+        }
+    )
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    top = merged.take(order.slice(0, k))
+
+    # stored-fields fetch: pruned read of the k winners only
+    ids = top.column("doc_id").to_pylist()
+    win_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+        filter=pc.field("doc_id").isin(ids),
+    )
+    fields: dict[int, tuple[str, str, str]] = {}
+    for t in [x for x in ray.get(win_ds.materialize().to_arrow_refs()) if x.num_rows]:
+        for d, txt, src in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        ):
+            fields[d] = (txt, src)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+            "doc_id": top.column("doc_id"),
+            "url": pa.array(
+                [derive_url(d, fields[d][1]) for d in ids], pa.string()
+            ),
+            "title": pa.array(
+                [derive_title(fields[d][0]) for d in ids], pa.string()
+            ),
+            "domain": pa.array([fields[d][1] for d in ids], pa.string()),
+            "crawl_date": pa.array(
+                [derive_crawl_date(d) for d in ids], pa.string()
+            ),
+            "score": top.column("score"),
+            "snippet": pa.array(
+                [fields[d][0][:SNIPPET_CHARS] for d in ids], pa.string()
+            ),
+        }
     )
 
 
