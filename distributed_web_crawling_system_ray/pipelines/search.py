@@ -100,6 +100,71 @@ def tokenize(text: str, stem: bool = False) -> list[str]:
     return toks
 
 
+# Fields the query parser recognizes — the reference's MultifieldParser
+# covers exactly these two (indexer/indexer_node.py:151-153)
+QUERY_FIELDS = ("title", "content")
+
+
+def parse_query(query_str: str) -> list[list[tuple[str | None, str, bool]]]:
+    """Parse a user query string into disjunctive normal form — the
+    stand-in for the reference's ``MultifieldParser(["title", "content"])``
+    with Whoosh's default AndGroup (indexer/indexer_node.py:151-162).
+
+    Returns OR-groups: a list of AND-groups, each a list of
+    ``(field, term, negated)`` leaves where ``field`` is ``"title"`` /
+    ``"content"`` or ``None`` (bare term — matches either field, the
+    multifield default).
+
+    Grammar (whitespace-tokenized, no parentheses — the reference never
+    issues nested queries):
+
+    - adjacency and ``AND`` both conjoin within a group (Whoosh AndGroup);
+    - ``OR`` starts a new group;
+    - ``NOT`` negates the next leaf;
+    - ``field:word`` restricts a leaf to one recognized field; an
+      unrecognized prefix is treated as part of the term text (Whoosh
+      treats unknown fields as plain text);
+    - operator words must be UPPERCASE (Whoosh default) — lowercase
+      ``and``/``or``/``not`` are ordinary terms;
+    - each source word is normalized through the index tokenizer; a word
+      that splits into several tokens (``foo-bar``) contributes each token
+      as a leaf with the same field/negation.
+
+    Empty groups (e.g. from ``OR OR``) are dropped.  Stemming is NOT
+    applied here — the caller stems leaves with the index's own
+    ``_prep_terms`` so parsed queries match both stem modes.
+    """
+    groups: list[list[tuple[str | None, str, bool]]] = []
+    cur: list[tuple[str | None, str, bool]] = []
+    neg = False
+    for raw in query_str.split():
+        if raw == "OR":
+            if cur:
+                groups.append(cur)
+            cur = []
+            neg = False
+            continue
+        if raw == "AND":
+            neg = False
+            continue
+        if raw == "NOT":
+            neg = True
+            continue
+        field: str | None = None
+        word = raw
+        if ":" in raw:
+            prefix, rest = raw.split(":", 1)
+            if prefix.lower() in QUERY_FIELDS:
+                field = prefix.lower()
+                word = rest
+        for tok in _TOKEN.findall(word.lower()):
+            cur.append((field, tok, neg))
+        neg = False
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 # ------------------------------------------------------------ search config
 
 QUERY_TERMS = ("customer", "join", "window")  # the pinned benchmark query

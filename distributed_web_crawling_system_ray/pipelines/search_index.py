@@ -54,8 +54,14 @@ import ray.data
 from distributed_web_crawling_system_ray.pipelines.search import (
     _TOKEN,
     _stem,
+    bm25f_contribution,
+    derive_crawl_date,
+    derive_url,
+    parse_query,
+    BOOST_TITLE,
     IDF_SCALE,
     SNIPPET_CHARS,
+    TITLE_CHARS,
 )
 
 
@@ -108,6 +114,9 @@ class SearchIndex:
             "stem": stem,
             "generations": [],
             "live_docs": 0,
+            # Σ dl over LIVE docs (BM25F's N*avgdl) — maintained exactly
+            # across upserts so scoring never needs a corpus scan
+            "total_dl": 0,
         }
         idx = cls(index_dir, meta)
         idx._write_meta()
@@ -133,14 +142,26 @@ class SearchIndex:
         """Index one submission (upsert-by-doc_id) as a new generation.
 
         ``docs``: a Dataset / Arrow table / parquet path with columns
-        (doc_id:int64, text:string).  Reference semantics: Whoosh
-        ``update_document`` per result batch (indexer/indexer_node.py:83-106)
-        — a re-submitted doc_id replaces its previous postings.
+        (doc_id:int64, text:string[, source:string]).  Reference semantics:
+        Whoosh ``update_document`` per result batch
+        (indexer/indexer_node.py:83-106) — a re-submitted doc_id replaces its
+        previous postings.  ``source`` (when present) becomes the stored
+        ``domain`` field (the reference derives domain from the url,
+        indexer_node.py:89); absent, domain stores "unknown" — the
+        reference's own fallback (``result.get("domain", "unknown")``).
         """
         if isinstance(docs, str):
-            docs = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+            cols = [
+                c
+                for c in ("doc_id", "text", "source")
+                if c in pq.read_schema(docs).names
+            ]
+            docs = ray.data.read_parquet(docs, columns=cols)
         elif isinstance(docs, pa.Table):
-            docs = ray.data.from_arrow(docs.select(["doc_id", "text"]))
+            cols = [
+                c for c in ("doc_id", "text", "source") if c in docs.column_names
+            ]
+            docs = ray.data.from_arrow(docs.select(cols))
         g = (
             self.meta["generations"][-1]["gen"] + 1
             if self.meta["generations"]
@@ -179,25 +200,45 @@ class SearchIndex:
         if len(new_ids) != len(all_ids):
             docs_mat = self._collapse_submission_dups(docs_mat)
 
-        # one tokenize pass -> postings rows (term, doc_id, tf) + per-doc
-        # rows (n_tokens, snippet); both leave the worker as Arrow, the text
-        # column never does
+        # one tokenize pass -> postings rows (term, doc_id, tf, tf_title, dl)
+        # + per-doc stored-field rows; both leave the worker as Arrow, the
+        # text column never does.  ``tf`` is the content (full-text) term
+        # frequency — v1 TF-IDF queries filter tf>0 so a title-only term
+        # (e.g. a token truncated at the title cut) never perturbs them;
+        # BM25F uses all rows (tf_w = BOOST_TITLE*tf_title + tf > 0 by
+        # construction).  ``dl`` (the BM25F weighted doc length) is
+        # DENORMALIZED into every posting row so scoring needs no second
+        # read — the impact-ordered-index trade: +8 B/row for a
+        # postings-only query path.
         def explode(batch: pa.Table) -> pa.Table:
             terms: list[str] = []
             dids: list[int] = []
             tfs: list[int] = []
+            tfts: list[int] = []
+            dls: list[int] = []
             for did, text in zip(
                 batch.column("doc_id").to_pylist(),
                 batch.column("text").to_pylist(),
             ):
                 counts: dict[str, int] = {}
-                for tok in _TOKEN.findall(text.lower()):
+                tcounts: dict[str, int] = {}
+                ctoks = _TOKEN.findall(text.lower())
+                ttoks = _TOKEN.findall(text[:TITLE_CHARS].lower())
+                for tok in ctoks:
                     if stem:
                         tok = _stem(tok)
                     counts[tok] = counts.get(tok, 0) + 1
-                terms.extend(counts.keys())
-                dids.extend([did] * len(counts))
-                tfs.extend(counts.values())
+                for tok in ttoks:
+                    if stem:
+                        tok = _stem(tok)
+                    tcounts[tok] = tcounts.get(tok, 0) + 1
+                dl = BOOST_TITLE * len(ttoks) + len(ctoks)
+                union = counts.keys() | tcounts.keys()
+                terms.extend(union)
+                dids.extend([did] * len(union))
+                tfs.extend(counts.get(t, 0) for t in union)
+                tfts.extend(tcounts.get(t, 0) for t in union)
+                dls.extend([dl] * len(union))
             part = np.fromiter(
                 (_term_part(t, n_parts) for t in terms),
                 dtype=np.int32,
@@ -208,6 +249,8 @@ class SearchIndex:
                     "term": pa.array(terms, pa.string()),
                     "doc_id": pa.array(dids, pa.int64()),
                     "tf": pa.array(tfs, pa.int64()),
+                    "tf_title": pa.array(tfts, pa.int64()),
+                    "dl": pa.array(dls, pa.int64()),
                     "part": pa.array(part, pa.int32()),
                 }
             )
@@ -215,14 +258,34 @@ class SearchIndex:
         def doc_rows(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
+            has_src = "source" in batch.column_names
+            srcs = (
+                batch.column("source").to_pylist()
+                if has_src
+                else ["unknown"] * len(ids)
+            )
             n_tok = [len(_TOKEN.findall(t.lower())) for t in texts]
+            n_ttok = [
+                len(_TOKEN.findall(t[:TITLE_CHARS].lower())) for t in texts
+            ]
+            dl = [BOOST_TITLE * a + b for a, b in zip(n_ttok, n_tok)]
             snip = [t[:SNIPPET_CHARS] for t in texts]
             dpart = (np.asarray(ids, dtype=np.int64) % n_dparts).astype(np.int32)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
                     "n_tokens": pa.array(n_tok, pa.int64()),
+                    "dl": pa.array(dl, pa.int64()),
                     "snippet": pa.array(snip, pa.string()),
+                    # stored result fields (the Whoosh schema's stored=True
+                    # set, indexer/indexer_node.py:63-70)
+                    "title": pa.array(
+                        [t[:TITLE_CHARS] for t in texts], pa.string()
+                    ),
+                    "domain": pa.array(srcs, pa.string()),
+                    "crawl_date": pa.array(
+                        [derive_crawl_date(int(d)) for d in ids], pa.string()
+                    ),
                     "dpart": pa.array(dpart, pa.int32()),
                 }
             )
@@ -287,6 +350,15 @@ class SearchIndex:
             os.path.join(gd, "superseded.parquet"),
         )
 
+        # total_dl delta: + this submission's dl sum, - the superseded docs'
+        # OLD dl (dpart-pruned read bounded by n_superseded, not the corpus)
+        new_dl = 0
+        ddir = os.path.join(gd, "docs")
+        for fn in os.listdir(ddir):
+            col = pq.read_table(os.path.join(ddir, fn), columns=["dl"]).column("dl")
+            new_dl += int(pc.sum(col).as_py() or 0)
+        old_dl = self._dl_of_ids(np.unique(overlap)) if len(overlap) else 0
+
         # commit: meta lists the generation only after every file is final
         self._lg_cache = None
         self.meta["generations"].append(
@@ -295,8 +367,32 @@ class SearchIndex:
         self.meta["live_docs"] = int(
             self.meta["live_docs"] + len(new_ids) - len(np.unique(overlap))
         )
+        self.meta["total_dl"] = int(
+            self.meta.get("total_dl", 0) + new_dl - old_dl
+        )
         self._write_meta()
         return {"gen": g, "n_docs": int(len(new_ids)), "n_upserts": int(len(overlap))}
+
+    def _dl_of_ids(self, ids: np.ndarray) -> int:
+        """Σ dl of the CURRENTLY-LIVE rows for ``ids`` (the rows a pending
+        supersede is about to kill): dpart-pruned docs reads, max-gen row
+        per id across the COMMITTED generations."""
+        if not len(ids):
+            return 0
+        idset = set(int(i) for i in ids)
+        parts = {int(i) % self.meta["n_dparts"] for i in ids}
+        best: dict[int, tuple[int, int]] = {}  # id -> (gen, dl)
+        for f in self._all_files("docs", parts):
+            t = pq.read_table(f, columns=["doc_id", "dl", "gen"])
+            for d, dl, g in zip(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                t.column("dl").to_numpy(zero_copy_only=False),
+                t.column("gen").to_numpy(zero_copy_only=False),
+            ):
+                di = int(d)
+                if di in idset and (di not in best or int(g) > best[di][0]):
+                    best[di] = (int(g), int(dl))
+        return sum(dl for _, dl in best.values())
 
     def _collapse_submission_dups(self, docs_mat) -> "ray.data.Dataset":
         """One row per doc_id WITHIN a submission (Whoosh update_document is
@@ -474,15 +570,15 @@ class SearchIndex:
             ).astype(np.int32),
         )
 
-        # live ids: read back from the rewritten docs partitions (ids only)
+        # live ids + total_dl: read back from the rewritten docs partitions
+        # (int columns only)
         ids = []
+        new_total_dl = 0
         ddir = os.path.join(gd, "docs")
         for f in sorted(os.listdir(ddir)):
-            ids.append(
-                pq.read_table(os.path.join(ddir, f), columns=["doc_id"]).column(
-                    "doc_id"
-                ).to_numpy(zero_copy_only=False)
-            )
+            t = pq.read_table(os.path.join(ddir, f), columns=["doc_id", "dl"])
+            ids.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+            new_total_dl += int(pc.sum(t.column("dl")).as_py() or 0)
         all_ids = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
         _atomic_write_table(
             pa.table({"doc_id": pa.array(all_ids, pa.int64())}),
@@ -498,6 +594,7 @@ class SearchIndex:
             {"gen": new_g, "n_docs": int(len(all_ids)), "n_superseded": 0}
         ]
         self.meta["live_docs"] = int(len(all_ids))
+        self.meta["total_dl"] = int(new_total_dl)
         self._write_meta()
         for d in old_dirs:  # safe after commit: meta no longer lists them
             shutil.rmtree(d, ignore_errors=True)
@@ -540,9 +637,17 @@ class SearchIndex:
                         files.append(f)
         return files
 
-    def _pruned_postings(self, terms: list[str]) -> "ray.data.Dataset | None":
+    def _pruned_postings(
+        self, terms: list[str], require_content_tf: bool = True
+    ) -> "ray.data.Dataset | None":
         """Dataset over ONLY the hash partitions that can hold ``terms``,
-        filtered to the terms and to live (non-superseded) rows."""
+        filtered to the terms and to live (non-superseded) rows.
+
+        ``require_content_tf`` (the default) additionally drops title-only
+        rows (tf == 0): the v1 TF-IDF/AND/df queries are defined over
+        full-text tokens and must not see a token that exists only as a
+        title truncation.  BM25F passes False — it scores the field union.
+        """
         n_parts = self.meta["n_parts"]
         parts = {_term_part(t, n_parts) for t in terms}
         files = self._all_files("postings", parts)
@@ -555,6 +660,8 @@ class SearchIndex:
             if batch.num_rows == 0:
                 return batch
             m = pc.is_in(batch.column("term"), value_set=pa.array(sorted(term_set)))
+            if require_content_tf:
+                m = pc.and_(m, pc.greater(batch.column("tf"), 0))
             t = batch.filter(m)
             if last_gen and t.num_rows:
                 ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -586,13 +693,30 @@ class SearchIndex:
     def _df_from_parts(parts: list[pa.Table], terms: list[str]) -> dict[str, int]:
         out = {t: 0 for t in terms}
         for t in parts:
+            vc = pc.value_counts(t.column("term").combine_chunks())
             for term, n in zip(
-                *np.unique(
-                    np.asarray(t.column("term").to_pylist()), return_counts=True
-                )
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
             ):
                 out[str(term)] = out.get(str(term), 0) + int(n)
         return out
+
+    @staticmethod
+    def _idf_weights(term_col, idf: dict[str, int]) -> np.ndarray:
+        """Per-row idf via Arrow dictionary-encode + take: the idf dict is
+        looked up once per UNIQUE term (a handful), never per row — no
+        pandas/Python-object detour in the scoring hot loop."""
+        arr = (
+            term_col.combine_chunks()
+            if isinstance(term_col, pa.ChunkedArray)
+            else term_col
+        )
+        enc = pc.dictionary_encode(arr)
+        vals = np.array(
+            [idf.get(v, 0) for v in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        if not len(vals):
+            return np.zeros(len(arr), dtype=np.int64)
+        return vals[enc.indices.to_numpy(zero_copy_only=False)]
 
     def query_df(self, terms: list[str]) -> dict[str, int]:
         """Per-term document frequency for a query — pruned partitions only.
@@ -642,9 +766,7 @@ class SearchIndex:
                 for t in parts:
                     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
                     tf = t.column("tf").to_numpy(zero_copy_only=False)
-                    contrib = tf * pd.Series(t.column("term").to_pylist()).map(
-                        idf
-                    ).to_numpy(dtype=np.int64)
+                    contrib = tf * self._idf_weights(t.column("term"), idf)
                     for d, s in pd.Series(contrib).groupby(ids).sum().items():
                         scored[int(d)] = scored.get(int(d), 0) + int(s)
             ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
@@ -673,25 +795,35 @@ class SearchIndex:
         )
 
     def _topk_distributed(
-        self, ds: "ray.data.Dataset", terms: list[str], n: int, k: int
+        self,
+        ds: "ray.data.Dataset",
+        terms: list[str],
+        n: int,
+        k: int,
+        row_contrib=None,
     ) -> list[tuple[int, int]]:
         """Stopword-scale scoring: df via per-batch partials (driver folds Q
         ints), per-doc score via ``groupby(doc_id).sum``, then per-block
         local top-k and a tiny driver merge — the driver never sees more
         than blocks x k rows.  Same shape as the direct pipeline's
-        local-topk; pytest pins equality with the driver fold at limit=0."""
+        local-topk; pytest pins equality with the driver fold at limit=0.
+
+        ``row_contrib(batch, idf_row) -> int64[]`` computes each posting
+        row's score contribution (a (term, doc) pair appears in exactly one
+        live row, so every scoring model that is per-(term,doc) — TF-IDF and
+        BM25F alike — is row-additive under ``groupby(doc_id).sum``).
+        Default: ``tf * idf``.  Zero-score docs drop out so they compete in
+        the ascending-id tail fill exactly like unmatched docs."""
         from ray.data.aggregate import Sum
 
         term_list = sorted(set(terms))
 
         def df_partial(batch: pa.Table) -> pa.Table:
-            u, c = np.unique(
-                np.asarray(batch.column("term").to_pylist()), return_counts=True
-            )
+            vc = pc.value_counts(batch.column("term").combine_chunks())
             return pa.table(
                 {
-                    "term": pa.array(u.tolist(), pa.string()),
-                    "pdf": pa.array(c, pa.int64()),
+                    "term": vc.field("values"),
+                    "pdf": pc.cast(vc.field("counts"), pa.int64()),
                 }
             )
 
@@ -709,14 +841,15 @@ class SearchIndex:
             t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0
             for t in term_list
         }
+        if row_contrib is None:
+
+            def row_contrib(batch: pa.Table, idf_row: np.ndarray) -> np.ndarray:
+                return batch.column("tf").to_numpy(zero_copy_only=False) * idf_row
 
         def add_score(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            tf = batch.column("tf").to_numpy(zero_copy_only=False)
-            contrib = tf * pd.Series(batch.column("term").to_pylist()).map(
-                idf
-            ).to_numpy(dtype=np.int64)
+            contrib = row_contrib(
+                batch, SearchIndex._idf_weights(batch.column("term"), idf)
+            )
             return pa.table(
                 {
                     "doc_id": batch.column("doc_id"),
@@ -725,6 +858,7 @@ class SearchIndex:
             )
 
         def local_topk(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.greater(batch.column("score"), 0))
             order = pc.sort_indices(
                 batch,
                 sort_keys=[("score", "descending"), ("doc_id", "ascending")],
@@ -815,6 +949,8 @@ class SearchIndex:
         def partial(batch: pa.Table) -> pa.Table:
             from distributed_web_crawling_system_ray.stages.cache import get_object
 
+            # df is defined over full-text tokens: drop title-only rows
+            batch = batch.filter(pc.greater(batch.column("tf"), 0))
             lg = get_object(lg_ref)
             if lg and batch.num_rows:
                 ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -825,18 +961,16 @@ class SearchIndex:
                     count=len(ids),
                 )
                 batch = batch.filter(pa.array(live, pa.bool_()))
-            terms, n = np.unique(
-                np.asarray(batch.column("term").to_pylist()), return_counts=True
-            )
+            vc = pc.value_counts(batch.column("term").combine_chunks())
             return pa.table(
                 {
-                    "term": pa.array(terms.tolist(), pa.string()),
-                    "pdf": pa.array(n, pa.int64()),
+                    "term": vc.field("values"),
+                    "pdf": pc.cast(vc.field("counts"), pa.int64()),
                 }
             )
 
         out = (
-            ray.data.read_parquet(files, columns=["term", "doc_id", "gen"])
+            ray.data.read_parquet(files, columns=["term", "doc_id", "tf", "gen"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("pdf", alias_name="df"))
@@ -850,43 +984,352 @@ class SearchIndex:
             )
         )
 
+    # --------------------------------------------------------------- BM25F
+
+    def topk_bm25f(
+        self,
+        terms,
+        k: int = 10,
+        driver_row_limit: int = 2_000_000,
+    ) -> pa.Table:
+        """Field-weighted BM25 top-k from the persisted index — identical
+        output contract to ``search.search_topk_bm25f`` (rank, doc_id, url,
+        title, domain, crawl_date, score, snippet).  Scoring reads ONLY the
+        pruned postings rows: ``dl`` is denormalized into every row and
+        ``total_dl``/``live_docs`` live in meta, so no doc-table pass.
+
+        Same scale-adaptive split as ``topk``: driver fold under
+        ``driver_row_limit`` matched rows, else the distributed
+        ``groupby(doc_id).sum`` path (BM25F is row-additive because each
+        (term, doc) pair is one live posting row)."""
+        n = int(self.meta["live_docs"])
+        total_dl = int(self.meta.get("total_dl", 0))
+        terms = self._prep_terms(list(terms))
+
+        def contrib_of(batch: pa.Table, idf_row: np.ndarray) -> np.ndarray:
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            tft = batch.column("tf_title").to_numpy(zero_copy_only=False)
+            dl = batch.column("dl").to_numpy(zero_copy_only=False)
+            tf_w = BOOST_TITLE * tft + tf
+            den = 10 * total_dl * tf_w + 3 * total_dl + 9 * dl * n
+            num = idf_row * 22 * tf_w * total_dl
+            return np.where(den > 0, num // np.maximum(den, 1), 0).astype(
+                np.int64
+            )
+
+        ds = self._pruned_postings(terms, require_content_tf=False)
+        n_rows = ds.count() if ds is not None else 0
+        if ds is not None and n_rows > driver_row_limit:
+            ranked = self._topk_distributed(
+                ds, terms, n, k, row_contrib=contrib_of
+            )
+            exclude = {d for d, _ in ranked}
+        else:
+            parts = (
+                [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+                if ds is not None
+                else []
+            )
+            # BM25F df: every live row counts (tf_w > 0 by construction —
+            # a row exists only where the term appears in title or content)
+            df = self._df_from_parts(parts, terms)
+            idf = {
+                t: (n * IDF_SCALE) // df[t] if df.get(t, 0) > 0 else 0
+                for t in terms
+            }
+            scored: dict[int, int] = {}
+            if parts:
+                import pandas as pd
+
+                for t in parts:
+                    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                    contrib = contrib_of(
+                        t, self._idf_weights(t.column("term"), idf)
+                    )
+                    for d, s in pd.Series(contrib).groupby(ids).sum().items():
+                        scored[int(d)] = scored.get(int(d), 0) + int(s)
+            # zero-score matched docs (possible when a long doc's floored
+            # contribution vanishes) compete in the ascending-id tail like
+            # unmatched docs — the direct pipeline's total order
+            scored = {d: s for d, s in scored.items() if s > 0}
+            ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            exclude = set(scored)
+        if len(ranked) < k:
+            ranked += [
+                (int(d), 0)
+                for d in self._live_doc_ids_ascending(
+                    exclude=exclude, want=k - len(ranked)
+                )
+            ]
+        ids = [d for d, _ in ranked]
+        fields = self._stored_fields(ids)
+
+        def fld(d: int, name: str) -> str:
+            return fields.get(d, {}).get(name, "")
+
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(ranked) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(
+                    [derive_url(d, fld(d, "domain")) for d in ids], pa.string()
+                ),
+                "title": pa.array([fld(d, "title") for d in ids], pa.string()),
+                "domain": pa.array(
+                    [fld(d, "domain") for d in ids], pa.string()
+                ),
+                "crawl_date": pa.array(
+                    [fld(d, "crawl_date") for d in ids], pa.string()
+                ),
+                "score": pa.array([s for _, s in ranked], pa.int64()),
+                "snippet": pa.array(
+                    [fld(d, "snippet") for d in ids], pa.string()
+                ),
+            }
+        )
+
+    # ------------------------------------------------- query-string search
+
+    def search(self, query_str: str, k: int = 10) -> pa.Table:
+        """The reference's user-facing search endpoint
+        (``indexer/indexer_node.py:151-183``): a query STRING with
+        field-specific terms (``title:term`` / ``content:term``) and boolean
+        operators (AND / OR / NOT), parsed by ``parse_query`` (the
+        MultifieldParser stand-in), matched against the index, and ranked
+        with BM25F.
+
+        Matching: the query in disjunctive normal form — OR of AND-groups;
+        a bare term matches either field, ``title:x`` / ``content:x``
+        restrict to one field; ``NOT x`` excludes (only inside a group with
+        at least one positive term — a pure-negation group is rejected,
+        like Whoosh's requirement of at least one positive clause).
+
+        Scoring: each distinct positive (field, term) leaf contributes its
+        field-restricted BM25F weight (bare terms use the boosted field
+        union; ``title:x`` only ``BOOST_TITLE*tf_title``; ``content:x``
+        only ``tf``), summed per matching doc.
+
+        The candidate postings for the query's terms are folded driver-side
+        (bounded by the per-term document frequencies, the classic
+        inverted-index query cost); corpus-scale stopword queries belong on
+        ``topk``/``topk_bm25f``, which switch to the distributed path.
+        """
+        groups = parse_query(query_str)
+        if not groups:
+            return self.topk_bm25f([], k)
+        stem_t = lambda t: self._prep_terms([t])[0]  # noqa: E731
+        groups = [
+            [(f, stem_t(t), neg) for f, t, neg in grp] for grp in groups
+        ]
+        for grp in groups:
+            if grp and not any(not neg for _, _, neg in grp):
+                raise ValueError(
+                    "pure-negation query group is not matchable: " + query_str
+                )
+        all_terms = sorted({t for grp in groups for _, t, _ in grp})
+        n = int(self.meta["live_docs"])
+        total_dl = int(self.meta.get("total_dl", 0))
+        ds = self._pruned_postings(all_terms, require_content_tf=False)
+        parts = (
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+            if ds is not None
+            else []
+        )
+        # per-term posting arrays (ids, tf, tf_title, dl)
+        post: dict[str, list[np.ndarray]] = {}
+        for t in parts:
+            terms_np = t.column("term")
+            for term in all_terms:
+                m = pc.equal(terms_np, term)
+                sub = t.filter(m)
+                if sub.num_rows:
+                    post.setdefault(term, []).append(
+                        np.stack(
+                            [
+                                sub.column(c).to_numpy(zero_copy_only=False)
+                                for c in ("doc_id", "tf", "tf_title", "dl")
+                            ]
+                        )
+                    )
+        cat = {
+            term: np.concatenate(arrs, axis=1) for term, arrs in post.items()
+        }
+
+        def leaf_ids(field: str | None, term: str) -> np.ndarray:
+            a = cat.get(term)
+            if a is None:
+                return np.zeros(0, dtype=np.int64)
+            ids, tf, tft = a[0], a[1], a[2]
+            if field == "title":
+                return ids[tft > 0]
+            if field == "content":
+                return ids[tf > 0]
+            return ids  # union rows all have tf_w > 0
+
+        match: np.ndarray | None = None
+        for grp in groups:
+            gm: np.ndarray | None = None
+            for field, term, neg in grp:
+                if neg:
+                    continue
+                s = leaf_ids(field, term)
+                gm = s if gm is None else np.intersect1d(gm, s)
+            for field, term, neg in grp:
+                if neg and gm is not None and len(gm):
+                    gm = np.setdiff1d(gm, leaf_ids(field, term))
+            if gm is not None:
+                match = gm if match is None else np.union1d(match, gm)
+        match = match if match is not None else np.zeros(0, dtype=np.int64)
+
+        # score the matches: distinct positive leaves, field-restricted tf_w
+        leaves = sorted(
+            {(f, t) for grp in groups for f, t, neg in grp if not neg},
+            key=lambda x: (x[0] or "", x[1]),
+        )
+        scores: dict[int, int] = {int(d): 0 for d in match}
+        mset = set(scores)
+        for field, term in leaves:
+            a = cat.get(term)
+            if a is None:
+                continue
+            ids, tf, tft, dl = a[0], a[1], a[2], a[3]
+            if field == "title":
+                tf_w = BOOST_TITLE * tft
+            elif field == "content":
+                tf_w = tf
+            else:
+                tf_w = BOOST_TITLE * tft + tf
+            sel = tf_w > 0
+            df = int(sel.sum())
+            idf = (n * IDF_SCALE) // df if df > 0 else 0
+            for d, w, L in zip(ids[sel], tf_w[sel], dl[sel]):
+                di = int(d)
+                if di in mset:
+                    scores[di] += bm25f_contribution(
+                        idf, int(w), int(L), total_dl, n
+                    )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        ids = [d for d, _ in ranked]
+        fields_map = self._stored_fields(ids)
+
+        def fld(d: int, name: str) -> str:
+            return fields_map.get(d, {}).get(name, "")
+
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(ranked) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(
+                    [derive_url(d, fld(d, "domain")) for d in ids], pa.string()
+                ),
+                "title": pa.array([fld(d, "title") for d in ids], pa.string()),
+                "domain": pa.array(
+                    [fld(d, "domain") for d in ids], pa.string()
+                ),
+                "crawl_date": pa.array(
+                    [fld(d, "crawl_date") for d in ids], pa.string()
+                ),
+                "score": pa.array([s for _, s in ranked], pa.int64()),
+                "snippet": pa.array(
+                    [fld(d, "snippet") for d in ids], pa.string()
+                ),
+            }
+        )
+
+    # --------------------------------------------------------------- stats
+
+    def stats(self) -> dict:
+        """Index statistics — the reference's ``update_stats`` +
+        ``get_status`` surface (``indexer/indexer_node.py:188-217``):
+        ``document_count`` (its ``searcher.doc_count()``) and
+        ``index_size_bytes``/``index_size_mb`` (its os.walk size sum), plus
+        the rebuild's own segmentation facts."""
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(self.index_dir):
+            for f in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    continue
+        return {
+            "document_count": int(self.meta["live_docs"]),
+            "index_size_bytes": int(total),
+            "index_size_mb": round(total / (1024 * 1024), 2),
+            "n_generations": len(self.meta["generations"]),
+            "total_dl": int(self.meta.get("total_dl", 0)),
+            "stem": bool(self.meta.get("stem", False)),
+        }
+
     # ------------------------------------------------------------- helpers
 
     def _live_doc_ids_ascending(self, exclude: set[int], want: int) -> list[int]:
-        """Smallest live doc_ids not in ``exclude`` — zero-score tail fill
-        for degenerate queries (matched < k).  Reads ids only."""
+        """Smallest ``want`` live doc_ids not in ``exclude`` — zero-score
+        tail fill for degenerate queries (matched < k).
+
+        Reads id+gen columns per docs file but keeps only a bounded
+        selection per file (``np.partition`` to the smallest ``want``
+        candidates), so driver memory is O(n_files * want), never
+        O(corpus) (r3 advice: the old per-id dict held every live id)."""
         last_gen = self._last_gen_map()
-        best: dict[int, int] = {}
+        running = np.zeros(0, dtype=np.int64)
         for f in self._all_files("docs"):
             t = pq.read_table(f, columns=["doc_id", "gen"])
-            for d, g in zip(
-                t.column("doc_id").to_numpy(zero_copy_only=False),
-                t.column("gen").to_numpy(zero_copy_only=False),
-            ):
-                if g >= last_gen.get(int(d), 0):
-                    best[int(d)] = int(g)
-        out = sorted(d for d in best if d not in exclude)
-        return out[:want]
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            gen = t.column("gen").to_numpy(zero_copy_only=False)
+            if last_gen:
+                live = np.fromiter(
+                    (g >= last_gen.get(int(i), 0) for i, g in zip(ids, gen)),
+                    dtype=bool,
+                    count=len(ids),
+                )
+                ids = ids[live]
+            if exclude:
+                ids = ids[
+                    np.isin(
+                        ids, np.fromiter(exclude, dtype=np.int64), invert=True
+                    )
+                ]
+            # a doc_id can recur across generations (upserts): np.unique
+            # dedups AND sorts, so the head is the smallest `want`
+            running = np.unique(np.concatenate([running, ids]))[:want]
+        return [int(d) for d in running]
 
-    def _snippets(self, ids: list[int]) -> dict[int, str]:
-        """Stored snippets for the k winners: doc-partition-pruned read,
-        latest generation wins."""
+    def _stored_fields(self, ids: list[int]) -> dict[int, dict]:
+        """The stored result fields (title/domain/crawl_date/snippet) for
+        the k winners: doc-partition-pruned read, latest generation wins —
+        the Whoosh stored=True retrieval (indexer/indexer_node.py:174-181)."""
         if not ids:
             return {}
         n_dparts = self.meta["n_dparts"]
         parts = {int(d) % n_dparts for d in ids}
         idset = set(int(d) for d in ids)
-        best: dict[int, tuple[int, str]] = {}
+        cols = ["doc_id", "title", "domain", "crawl_date", "snippet", "gen"]
+        best: dict[int, tuple[int, dict]] = {}
         for f in self._all_files("docs", parts):
-            t = pq.read_table(f, columns=["doc_id", "snippet", "gen"])
-            for d, s, g in zip(
-                t.column("doc_id").to_pylist(),
-                t.column("snippet").to_pylist(),
-                t.column("gen").to_pylist(),
-            ):
+            t = pq.read_table(f, columns=cols)
+            rows = [t.column(c).to_pylist() for c in cols]
+            for d, title, domain, cdate, snip, g in zip(*rows):
                 if d in idset and (d not in best or g > best[d][0]):
-                    best[d] = (g, s)
-        return {d: s for d, (_, s) in best.items()}
+                    best[d] = (
+                        g,
+                        {
+                            "title": title,
+                            "domain": domain,
+                            "crawl_date": cdate,
+                            "snippet": snip,
+                        },
+                    )
+        return {d: fields for d, (_, fields) in best.items()}
+
+    def _snippets(self, ids: list[int]) -> dict[int, str]:
+        """Stored snippets for the k winners (doc-partition-pruned)."""
+        return {
+            d: f["snippet"] for d, f in self._stored_fields(ids).items()
+        }
 
 
 # --------------------------------------------------- sf_dir-cached indexes
@@ -913,29 +1356,56 @@ def index_for(sf_dir: str) -> SearchIndex:
     staging dir and a concurrent reader of the previous index keeps its
     already-open handles (r3 review: the in-place create could rmtree a
     directory another process was querying, and a same-second in-place
-    rewrite of the source passed the old stamp)."""
+    rewrite of the source passed the old stamp).
+
+    Concurrency (r3 advice): the cache dir name carries a hash of the FULL
+    normalized source path, so distinct fixture dirs sharing a basename get
+    distinct cache slots instead of perpetually invalidating each other;
+    and two processes racing to build the same slot are safe — the swap
+    failure path re-checks for a concurrently-appeared valid-stamp dir and
+    treats it as success (both built the same deterministic index)."""
+    import hashlib
+
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     stamp = f"v{INDEX_FORMAT_VERSION}|{src}|{st.st_size}|{st.st_mtime_ns}"
+    norm = os.path.normpath(os.path.abspath(sf_dir))
     d = os.path.join(
-        _INDEX_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir))
+        _INDEX_CACHE_ROOT,
+        os.path.basename(norm)
+        + "-"
+        + hashlib.md5(norm.encode()).hexdigest()[:8],
     )
-    stamp_path = os.path.join(d, "_SOURCE_STAMP")
-    if os.path.isdir(d) and os.path.exists(stamp_path):
+
+    def _valid() -> bool:
+        stamp_path = os.path.join(d, "_SOURCE_STAMP")
+        if not (os.path.isdir(d) and os.path.exists(stamp_path)):
+            return False
         with open(stamp_path) as f:
-            if f.read() == stamp and os.path.exists(
+            return f.read() == stamp and os.path.exists(
                 os.path.join(d, "meta.json")
-            ):
-                return SearchIndex.open(d)
+            )
+
+    if _valid():
+        return SearchIndex.open(d)
     staging = f"{d}.build-{os.getpid()}"
     idx = SearchIndex.create(staging)
     idx.update(src)
     with open(os.path.join(staging, "_SOURCE_STAMP"), "w") as f:
         f.write(stamp)
     old = f"{d}.old-{os.getpid()}"
-    if os.path.isdir(d):
-        os.replace(d, old)  # previous tree stays readable during the swap
-    os.replace(staging, d)
+    try:
+        if os.path.isdir(d):
+            os.replace(d, old)  # previous tree stays readable during swap
+        os.replace(staging, d)
+    except OSError:
+        # lost the race: another process swapped its build in between our
+        # check and replace — if its index carries the same stamp, use it
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if _valid():
+            return SearchIndex.open(d)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return SearchIndex.open(d)
 

@@ -1,0 +1,262 @@
+"""BM25F search surface (reference: searcher(weighting=scoring.BM25F) +
+MultifieldParser(["title","content"]) with stored result fields,
+indexer/indexer_node.py:63-70,151-183).
+
+Contract under test:
+- parse_query: the MultifieldParser stand-in — DNF (OR of AND-groups),
+  NOT negation, title:/content: field restriction, uppercase operators.
+- indexed topk_bm25f reproduces the direct one-pass search_topk_bm25f
+  pipeline exactly (same integer scores, same stored fields).
+- SearchIndex.search(query_str): field-restricted matching + scoring equals
+  a brute-force in-test reference over the same corpus.
+- stats(): the reference's document_count / index_size surface.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from distributed_web_crawling_system_ray.pipelines import search
+from distributed_web_crawling_system_ray.pipelines.search import (
+    BOOST_TITLE,
+    IDF_SCALE,
+    TITLE_CHARS,
+    _TOKEN,
+    bm25f_contribution,
+    parse_query,
+)
+from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
+
+
+# ------------------------------------------------------------- parse_query
+
+
+def test_parse_query_bare_terms_and_group():
+    assert parse_query("foo bar") == [[(None, "foo", False), (None, "bar", False)]]
+    assert parse_query("foo AND bar") == [
+        [(None, "foo", False), (None, "bar", False)]
+    ]
+
+
+def test_parse_query_or_groups():
+    assert parse_query("title:foo OR content:bar") == [
+        [("title", "foo", False)],
+        [("content", "bar", False)],
+    ]
+    # empty groups from doubled OR are dropped
+    assert parse_query("foo OR OR bar") == [
+        [(None, "foo", False)],
+        [(None, "bar", False)],
+    ]
+
+
+def test_parse_query_not_and_case():
+    assert parse_query("foo AND NOT bar") == [
+        [(None, "foo", False), (None, "bar", True)]
+    ]
+    # lowercase operators are plain terms (Whoosh default)
+    assert parse_query("foo and not bar") == [
+        [
+            (None, "foo", False),
+            (None, "and", False),
+            (None, "not", False),
+            (None, "bar", False),
+        ]
+    ]
+
+
+def test_parse_query_field_and_tokenization():
+    # unknown field prefix is text; multi-token words explode in place
+    assert parse_query("xyz:foo") == [[(None, "xyz", False), (None, "foo", False)]]
+    assert parse_query("title:foo-bar") == [
+        [("title", "foo", False), ("title", "bar", False)]
+    ]
+    assert parse_query("NOT foo-bar baz") == [
+        [(None, "foo", True), (None, "bar", True), (None, "baz", False)]
+    ]
+    assert parse_query("") == []
+
+
+# --------------------------------------------------------------- fixtures
+
+
+def _docs_table(rows: dict[int, str]) -> pa.Table:
+    ids = sorted(rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+            "source": pa.array([f"src{i % 3}" for i in ids], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(41)
+    vocab = [
+        "customer", "join", "window", "stream", "table", "query", "index",
+        "crawl", "page", "robots", "the", "a", "of", "data", "joining",
+        "windows", "customers",
+    ]
+    return {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 60)))
+        for i in range(80)
+    }
+
+
+# --------------------------------------------- indexed vs direct pipeline
+
+
+def test_indexed_bm25f_matches_direct(ray_session, tmp_path, corpus):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(_docs_table(corpus), str(d / "documents.parquet"))
+    want = search.search_topk_bm25f(str(d))
+    # the direct pipeline stems (v3 StemmingAnalyzer) -> stemmed index
+    idx = SearchIndex.create(str(tmp_path / "idx"), stem=True)
+    idx.update(str(d / "documents.parquet"))
+    got = idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K)
+    assert got.equals(want), f"\ngot:\n{got.to_pandas()}\nwant:\n{want.to_pandas()}"
+
+
+def test_indexed_bm25f_distributed_path_matches(ray_session, tmp_path, corpus):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(_docs_table(corpus), str(d / "documents.parquet"))
+    want = search.search_topk_bm25f(str(d))
+    idx = SearchIndex.create(str(tmp_path / "idx"), stem=True)
+    idx.update(str(d / "documents.parquet"))
+    got = idx.topk_bm25f(
+        list(search.QUERY_TERMS), search.BM25_TOP_K, driver_row_limit=0
+    )
+    assert got.equals(want)
+
+
+def test_indexed_bm25f_tracks_upserts(ray_session, tmp_path, corpus):
+    """total_dl / df / idf stay exact across an upsert generation — the
+    index answer equals the direct pipeline over the MERGED corpus."""
+    sub2 = {i: "customer window " + corpus[i] for i in range(10, 20)}
+    sub2.update({i: "fresh join data" for i in range(80, 90)})
+    merged = dict(corpus)
+    merged.update(sub2)
+    d = tmp_path / "sf_merged"
+    d.mkdir()
+    pq.write_table(_docs_table(merged), str(d / "documents.parquet"))
+    want = search.search_topk_bm25f(str(d))
+    idx = SearchIndex.create(str(tmp_path / "idx2"), stem=True)
+    idx.update(_docs_table(corpus))
+    idx.update(_docs_table(sub2))
+    got = idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K)
+    assert got.equals(want)
+
+
+# ------------------------------------------------- search(query_str) DNF
+
+
+def _brute_force_search(rows: dict[int, str], query: str, k: int):
+    """Pure-Python reference for SearchIndex.search on an UNSTEMMED index."""
+    toks = {
+        d: (
+            _TOKEN.findall(t[:TITLE_CHARS].lower()),
+            _TOKEN.findall(t.lower()),
+        )
+        for d, t in rows.items()
+    }
+    n = len(rows)
+    dl = {
+        d: BOOST_TITLE * len(tt) + len(ct) for d, (tt, ct) in toks.items()
+    }
+    total_dl = sum(dl.values())
+
+    def tf_w(d, field, term):
+        tt, ct = toks[d]
+        if field == "title":
+            return BOOST_TITLE * tt.count(term)
+        if field == "content":
+            return ct.count(term)
+        return BOOST_TITLE * tt.count(term) + ct.count(term)
+
+    groups = parse_query(query)
+    match: set[int] = set()
+    for grp in groups:
+        gm = None
+        for field, term, neg in grp:
+            if neg:
+                continue
+            s = {d for d in rows if tf_w(d, field, term) > 0}
+            gm = s if gm is None else gm & s
+        for field, term, neg in grp:
+            if neg and gm:
+                gm -= {d for d in rows if tf_w(d, field, term) > 0}
+        if gm is not None:
+            match |= gm
+    leaves = {(f, t) for grp in groups for f, t, neg in grp if not neg}
+    scores = {d: 0 for d in match}
+    for field, term in leaves:
+        df = sum(1 for d in rows if tf_w(d, field, term) > 0)
+        idf = (n * IDF_SCALE) // df if df > 0 else 0
+        for d in match:
+            w = tf_w(d, field, term)
+            if w > 0:
+                scores[d] += bm25f_contribution(idf, w, dl[d], total_dl, n)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "customer join",
+        "title:customer",
+        "content:window AND NOT title:customer",
+        "customer OR title:join window",
+        "title:customer AND content:join OR data",
+    ],
+)
+def test_search_query_string_matches_brute_force(
+    ray_session, tmp_path, corpus, query
+):
+    idx_dir = tmp_path / "idx_search"
+    if not (idx_dir / "meta.json").exists():
+        idx = SearchIndex.create(str(idx_dir))
+        idx.update(_docs_table(corpus))
+    else:
+        idx = SearchIndex.open(str(idx_dir))
+    got = idx.search(query, k=10)
+    want = _brute_force_search(corpus, query, k=10)
+    assert got.column("doc_id").to_pylist() == [d for d, _ in want]
+    assert got.column("score").to_pylist() == [s for _, s in want]
+    # stored fields round-trip
+    for d, title, dom in zip(
+        got.column("doc_id").to_pylist(),
+        got.column("title").to_pylist(),
+        got.column("domain").to_pylist(),
+    ):
+        assert title == corpus[d][:TITLE_CHARS]
+        assert dom == f"src{d % 3}"
+
+
+def test_search_pure_negation_rejected(ray_session, tmp_path, corpus):
+    idx = SearchIndex.create(str(tmp_path / "idx_neg"))
+    idx.update(_docs_table(corpus))
+    with pytest.raises(ValueError):
+        idx.search("NOT customer")
+
+
+# ------------------------------------------------------------------ stats
+
+
+def test_stats_surface(ray_session, tmp_path, corpus):
+    idx = SearchIndex.create(str(tmp_path / "idx_stats"))
+    idx.update(_docs_table(corpus))
+    st = idx.stats()
+    assert st["document_count"] == len(corpus)
+    assert st["index_size_bytes"] > 0
+    assert st["index_size_mb"] == round(st["index_size_bytes"] / 2**20, 2)
+    assert st["n_generations"] == 1
+    # upsert: count reflects live docs, generations grow
+    idx.update(_docs_table({1: "changed text", 999: "brand new"}))
+    st2 = idx.stats()
+    assert st2["document_count"] == len(corpus) + 1
+    assert st2["n_generations"] == 2
