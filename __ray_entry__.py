@@ -120,13 +120,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and_terms": search_index.search_and_terms_indexed,
         "search_term_df": search_index.search_term_df_indexed,
         # v3 stemmed scoring (Whoosh StemmingAnalyzer contract) — the suffix
-        # rules are SQL-expressible, so this path is hash-checked too
-        "search_topk_stemmed": search.search_topk_stemmed,
+        # rules are SQL-expressible, so this path is hash-checked too;
+        # answered FROM the persisted stemmed index
+        "search_topk_stemmed": search_index.search_topk_stemmed_indexed,
         # v3 BM25F over (title, content) with stored result fields — the
         # reference's actual ranking model (searcher(weighting=scoring.BM25F)
         # + MultifieldParser, indexer/indexer_node.py:151-183), integer-exact
-        # (k1=6/5, b=3/4, 2x title boost) so it hash-checks
-        "search_topk_bm25f": search.search_topk_bm25f,
+        # (k1=6/5, b=3/4, 2x title boost) so it hash-checks; answered FROM
+        # the persisted stemmed index (postings carry tf/tf_title/dl)
+        "search_topk_bm25f": search_index.search_topk_bm25f_indexed,
+        # index status surface: document_count + generations (the
+        # reference's update_stats/get_status, indexer_node.py:188-217);
+        # byte sizes are in SearchIndex.stats(), pytest-pinned
+        "search_index_stats": search_index.search_index_stats,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
         "ann_topk": dataops.ann_topk,
@@ -281,6 +287,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "search_topk_bm25f": _bm25f_sql(),
+        # a fresh build-from-documents index has exactly one generation;
+        # document_count is the reference's searcher.doc_count()
+        "search_index_stats": (
+            "SELECT count(DISTINCT doc_id)::BIGINT AS document_count, "
+            "CAST(1 AS BIGINT) AS n_generations FROM documents"
+        ),
         "search_and_terms": (
             "SELECT doc_id FROM (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents) "

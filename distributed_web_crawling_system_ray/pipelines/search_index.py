@@ -1345,10 +1345,12 @@ _INDEX_CACHE_ROOT = os.environ.get(
 INDEX_FORMAT_VERSION = 2
 
 
-def index_for(sf_dir: str) -> SearchIndex:
+def index_for(sf_dir: str, stem: bool = False) -> SearchIndex:
     """Build-once-query-many index over ``sf_dir/documents.parquet``,
     cached under /tmp — the reference's 'index once, query per request'
-    usage.
+    usage.  ``stem=True`` builds/serves the STEMMED index (its own cache
+    slot) — the v3 StemmingAnalyzer schema that BM25F and the stemmed
+    top-k query contract require.
 
     The stamp covers the index-format version + source identity
     (path|size|mtime_ns); the build lands in a pid-suffixed staging dir and
@@ -1368,13 +1370,14 @@ def index_for(sf_dir: str) -> SearchIndex:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    stamp = f"v{INDEX_FORMAT_VERSION}|{src}|{st.st_size}|{st.st_mtime_ns}"
+    stamp = f"v{INDEX_FORMAT_VERSION}|{src}|{st.st_size}|{st.st_mtime_ns}|stem={stem}"
     norm = os.path.normpath(os.path.abspath(sf_dir))
     d = os.path.join(
         _INDEX_CACHE_ROOT,
         os.path.basename(norm)
         + "-"
-        + hashlib.md5(norm.encode()).hexdigest()[:8],
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+        + ("-stem" if stem else ""),
     )
 
     def _valid() -> bool:
@@ -1389,7 +1392,7 @@ def index_for(sf_dir: str) -> SearchIndex:
     if _valid():
         return SearchIndex.open(d)
     staging = f"{d}.build-{os.getpid()}"
-    idx = SearchIndex.create(staging)
+    idx = SearchIndex.create(staging, stem=stem)
     idx.update(src)
     with open(os.path.join(staging, "_SOURCE_STAMP"), "w") as f:
         f.write(stamp)
@@ -1429,3 +1432,45 @@ def search_and_terms_indexed(sf_dir: str) -> pa.Table:
 
 def search_term_df_indexed(sf_dir: str) -> pa.Table:
     return index_for(sf_dir).term_df()
+
+
+def search_topk_stemmed_indexed(sf_dir: str) -> pa.Table:
+    """search_topk_stemmed answered FROM the persisted STEMMED index
+    (oracle-identical output to search.search_topk_stemmed)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        QUERY_TERMS,
+        TOP_K,
+    )
+
+    return index_for(sf_dir, stem=True).topk(list(QUERY_TERMS), TOP_K)
+
+
+def search_topk_bm25f_indexed(sf_dir: str) -> pa.Table:
+    """search_topk_bm25f answered FROM the persisted stemmed index
+    (oracle-identical output to search.search_topk_bm25f) — the
+    reference's actual serving shape: BM25F scored against the index, not
+    a corpus scan per query (indexer/indexer_node.py:151-183)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        QUERY_TERMS,
+    )
+
+    return index_for(sf_dir, stem=True).topk_bm25f(
+        list(QUERY_TERMS), BM25_TOP_K
+    )
+
+
+def search_index_stats(sf_dir: str) -> pa.Table:
+    """Index statistics as a one-row table — the reference's
+    ``document_count`` + index-size status surface
+    (indexer/indexer_node.py:188-217).  The oracle-checked columns are the
+    deterministic ones (document_count, n_generations); byte sizes are in
+    ``SearchIndex.stats()`` (pytest-pinned — on-disk size is not
+    SQL-predictable)."""
+    st = index_for(sf_dir).stats()
+    return pa.table(
+        {
+            "document_count": pa.array([st["document_count"]], pa.int64()),
+            "n_generations": pa.array([st["n_generations"]], pa.int64()),
+        }
+    )
