@@ -44,6 +44,20 @@ def test_near_dup_pairs_match_bruteforce():
     assert len(want) > 0  # the testdata plants near-dups; non-vacuous
 
 
+def test_near_dup_pairs_distributed_path_matches_driver():
+    """driver_pair_limit=0 forces the fully distributed dedup+join verify
+    path (the dup-heavy-corpus shape, no driver-held pair state); output is
+    pinned byte-equal to the default driver-broadcast path."""
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        doc_near_dup_pairs,
+    )
+
+    driver = doc_near_dup_pairs(SF)
+    dist = doc_near_dup_pairs(SF, driver_pair_limit=0)
+    assert dist.equals(driver)
+    assert dist.num_rows > 0
+
+
 def test_simhash_pairs_no_false_positives_and_deterministic():
     from distributed_web_crawling_system_ray.pipelines.dataops import (
         SIMHASH_HAMMING_MAX,
