@@ -46,6 +46,23 @@ from distributed_web_crawling_system_ray.state.scheduler import (
 )
 
 
+def _rank_bytes_arr(idx: np.ndarray) -> pa.Array:
+    """Vectorized ``int(i).to_bytes(RANK_BYTES, 'big')`` for a whole int64
+    array: big-endian view, slice the low RANK_BYTES, build the variable-
+    width binary array directly from buffers — no per-row Python loop
+    (r3 verdict item 5)."""
+    n = len(idx)
+    data = (
+        idx.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - RANK_BYTES :]
+    ).tobytes()
+    offsets = np.arange(0, (n + 1) * RANK_BYTES, RANK_BYTES, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
 def _frontier_chunks(pages: pa.Table, repeat: int, n_chunks: int) -> list[pa.Table]:
     """R stacked copies of the URL set, HOST-PARTITIONED driver-side: the
     table is sorted by host once and chunk boundaries are cut along host
@@ -53,11 +70,15 @@ def _frontier_chunks(pages: pa.Table, repeat: int, n_chunks: int) -> list[pa.Tab
     host lands wholly in one block.  The scheduler can then run as a plain
     map_batches — the politeness partitioning key is established at the
     source and reused, replacing a 10-second groupby sort (measured at bench
-    scale) with zero shuffle."""
+    scale) with zero shuffle.
+
+    This is the under-``driver_partition_limit`` path; above it the URL set
+    cannot be driver-held and ``_schedule_phase_distributed`` takes over."""
     pages = pages.sort_by("host")
     n = pages.num_rows
     target = max(1, n // max(1, n_chunks // max(1, repeat)))
     bounds = host_chunk_bounds(pages.column("host"), target)
+    rank = _rank_bytes_arr(np.arange(n, dtype=np.int64))
     chunks: list[pa.Table] = []
     for r in range(repeat):
         base = pa.table(
@@ -67,10 +88,7 @@ def _frontier_chunks(pages: pa.Table, repeat: int, n_chunks: int) -> list[pa.Tab
                 "url_hash": pa.array(np.zeros(n, dtype=np.uint64), pa.uint64()),
                 "host": pages.column("host"),
                 "depth": pa.array(np.full(n, r, dtype=np.int32), pa.int32()),
-                "rank_path": pa.array(
-                    [int(i).to_bytes(RANK_BYTES, "big") for i in range(n)],
-                    pa.binary(),
-                ),
+                "rank_path": rank,
             }
         )
         for a, b in zip(bounds, bounds[1:]):
@@ -122,6 +140,83 @@ def _schedule_phase(chunks, store_refs, cfg) -> "ray.data.Dataset":
     # so the downstream fetch+decode+write phase gets full-size blocks
     # (a lingering 160 KB cap shreds image-payload outputs into tiny
     # blocks and one mini parquet file per block; r3 review, Ray 2.49)
+    allowed.context.target_max_block_size = prev
+    return allowed
+
+
+def fabricate_and_schedule_host(
+    group: pa.Table,
+    *,
+    robots_ref,
+    clocks_ref,
+    per_host_round_budget: int,
+    repeat: int,
+) -> pa.Table:
+    """``groupby('host').map_groups`` body for the cluster-scale bulk
+    source: one call fabricates one host's frontier rows (deterministic
+    url-sorted order, PER-HOST rank bytes — politeness ordering is within-
+    host only, so local ranks suffice and never overflow RANK_BYTES the way
+    a global row index would) and schedules them, returning only the
+    ALLOWED rows.  The groupby shuffle is what makes this worker the host's
+    single politeness authority — same contract as crawl.py's
+    schedule_host_group."""
+    g = group.sort_by("url")
+    n = g.num_rows
+    rank = _rank_bytes_arr(np.arange(n, dtype=np.int64))
+    parts = []
+    for r in range(repeat):
+        parts.append(
+            pa.table(
+                {
+                    "url": g.column("url"),
+                    "canon": g.column("url"),
+                    "url_hash": pa.array(
+                        np.zeros(n, dtype=np.uint64), pa.uint64()
+                    ),
+                    "host": g.column("host"),
+                    "depth": pa.array(np.full(n, r, dtype=np.int32), pa.int32()),
+                    "rank_path": rank,
+                }
+            )
+        )
+    sched = schedule_hosts_batch(
+        pa.concat_tables(parts),
+        robots_ref=robots_ref,
+        clocks_ref=clocks_ref,
+        per_host_round_budget=per_host_round_budget,
+    )
+    return sched.filter(pc.equal(sched.column("verdict"), ALLOWED))
+
+
+def _schedule_phase_distributed(
+    pages_path: str, repeat: int, store_refs, cfg
+) -> "ray.data.Dataset":
+    """Cluster-scale phase 1: the URL set never lands on the driver.
+
+    ``read_parquet`` (url+host only) -> ``groupby('host')`` shuffle ->
+    per-host fabricate+schedule — the crawl.py cluster-frontier path
+    (crawl.py schedule_host_group) applied to the bulk source, sharing its
+    ``driver_partition_limit`` switch.  Block budget is shrunk on THIS
+    dataset's context (metadata-sized rows) so a hot host re-emits as
+    several blocks downstream."""
+    fr = ray.data.read_parquet(pages_path, columns=["url", "host"])
+    prev = fr.context.target_max_block_size
+    fr.context.target_max_block_size = 160 * 1024
+    clocks_ref = ray.put({})
+    allowed = (
+        fr.groupby("host")
+        .map_groups(
+            fabricate_and_schedule_host,
+            fn_kwargs={
+                "robots_ref": store_refs[1],
+                "clocks_ref": clocks_ref,
+                "per_host_round_budget": cfg.per_host_round_budget,
+                "repeat": repeat,
+            },
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     allowed.context.target_max_block_size = prev
     return allowed
 
@@ -208,8 +303,14 @@ def bulk_fetch_decode(
 
         out_dir = tempfile.mkdtemp(prefix="graft_bulk_")
     # ---- setup (untimed): load input, broadcast the store once ----
-    pages = pq.read_table(
-        os.path.join(fixture_dir, "web_pages.parquet"), columns=["url", "host"]
+    pages_path = os.path.join(fixture_dir, "web_pages.parquet")
+    n_pages = pq.read_metadata(pages_path).num_rows
+    # scale-adaptive source (r3 verdict item 5): under the limit the URL
+    # set is chunked driver-side (no shuffle at all); above it the set
+    # cannot be driver-held and the schedule is a Dataset groupby('host')
+    small = n_pages <= cfg.driver_partition_limit
+    pages = (
+        pq.read_table(pages_path, columns=["url", "host"]) if small else None
     )
     store_refs = (
         ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
@@ -218,19 +319,35 @@ def bulk_fetch_decode(
     )
     dedup = repeat == 1
     if warmup:  # spin up the worker pool + per-worker store handles
-        wchunks = _frontier_chunks(pages.slice(0, min(2048, pages.num_rows)), 1, 32)
+        wpages = (
+            pages
+            if pages is not None
+            else pa.Table.from_batches(
+                [next(pq.ParquetFile(pages_path).iter_batches(batch_size=2048))]
+            )
+        )
+        wchunks = _frontier_chunks(wpages.slice(0, min(2048, wpages.num_rows)), 1, 32)
         _build_pipeline(wchunks, store_refs, cfg, dedup=False).count()
 
     # ---- timed window: one streaming pipeline over R copies ----
-    chunks = _frontier_chunks(pages, repeat, n_chunks=256)
     t0 = time.time()
-    payload = _build_pipeline(chunks, store_refs, cfg, dedup)
+    if small:
+        chunks = _frontier_chunks(pages, repeat, n_chunks=256)
+        payload = _build_pipeline(chunks, store_refs, cfg, dedup)
+    else:
+        sched_ds = _schedule_phase_distributed(pages_path, repeat, store_refs, cfg)
+        if sched_ds.count() == 0:  # materialized upstream — metadata check
+            from distributed_web_crawling_system_ray.schema import PAYLOAD
+
+            payload = ray.data.from_arrow(PAYLOAD.empty_table())
+        else:
+            payload = _fetch_decode_phase(sched_ds, store_refs, cfg, dedup)
     from distributed_web_crawling_system_ray.sources.storage import write_payload
 
     write_payload(payload, out_dir)
     wall = time.time() - t0
 
-    n_urls = pages.num_rows * repeat
+    n_urls = n_pages * repeat
     n_images = sum(
         pq.read_metadata(os.path.join(out_dir, f)).num_rows
         for f in os.listdir(out_dir)

@@ -67,6 +67,89 @@ def test_bulk_payload_matches_expectation(bulk_t1):
     ).num_rows
 
 
+def test_bulk_distributed_source_matches_driver_path(bulk_t1, tmp_path_factory):
+    """driver_partition_limit=0 forces the cluster-scale source (Dataset
+    groupby('host') fabricate+schedule — the URL set never driver-held);
+    payload must equal the driver-chunked path row-for-row (same image set,
+    no duplicates)."""
+    from distributed_web_crawling_system_ray.pipelines.bulk import bulk_fetch_decode
+
+    fixture, out_driver, stats_driver = bulk_t1
+    out = str(tmp_path_factory.mktemp("bulk_dist"))
+    stats = bulk_fetch_decode(
+        fixture,
+        CrawlConfig(seen_shards=2, driver_partition_limit=0),
+        out_dir=out,
+        repeat=1,
+        warmup=False,
+    )
+
+    def _ids(d):
+        return sorted(
+            i
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+            for i in pq.read_table(os.path.join(d, f), columns=["image_id"])
+            .column("image_id")
+            .to_pylist()
+        )
+
+    got, want = _ids(out), _ids(out_driver)
+    assert len(got) == len(set(got))  # no duplicates
+    assert got == want
+    assert stats["images_written"] == stats_driver["images_written"]
+    assert stats["urls"] == stats_driver["urls"]
+
+
+def test_bulk_distributed_schedule_is_host_spaced(bulk_t1):
+    """Politeness holds on the distributed schedule path too: per-host
+    fetch_at spacing >= the host's crawl delay."""
+    import collections
+
+    import pyarrow.parquet as pq2
+    import ray
+
+    from distributed_web_crawling_system_ray.pipelines import bulk
+
+    fixture, _, _ = bulk_t1
+    cfg = CrawlConfig(seen_shards=2, driver_partition_limit=0)
+    store_refs = (
+        ray.put(pq2.read_table(os.path.join(fixture, "web_pages.parquet"))),
+        ray.put(pq2.read_table(os.path.join(fixture, "robots.parquet"))),
+        ray.put(pq2.read_table(os.path.join(fixture, "images.parquet"))),
+    )
+    sched_ds = bulk._schedule_phase_distributed(
+        os.path.join(fixture, "web_pages.parquet"), 1, store_refs, cfg
+    )
+    robots = RobotsPolicies.from_table(
+        pq2.read_table(os.path.join(fixture, "robots.parquet"))
+    )
+    per = collections.defaultdict(list)
+    for t in ray.get(sched_ds.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for h, at in zip(
+            t.column("host").to_pylist(), t.column("fetch_at_ms").to_pylist()
+        ):
+            per[h].append(at)
+    assert per  # non-vacuous
+    for h, ts in per.items():
+        ts = sorted(ts)
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= robots.delay_ms(h) for g in gaps), h
+
+
+def test_rank_bytes_arr_matches_int_to_bytes():
+    import numpy as np
+
+    from distributed_web_crawling_system_ray.oracle import RANK_BYTES
+    from distributed_web_crawling_system_ray.pipelines.bulk import _rank_bytes_arr
+
+    idx = np.array([0, 1, 255, 256, 65535, 16_777_215], dtype=np.int64)
+    got = _rank_bytes_arr(idx).to_pylist()
+    assert got == [int(i).to_bytes(RANK_BYTES, "big") for i in idx]
+
+
 def test_bulk_politeness_is_host_spaced(bulk_t1, tmp_path_factory):
     """Re-run the schedule phase and assert per-host spacing (the bulk
     scheduler path: host-partitioned chunks, no groupby)."""
