@@ -75,6 +75,72 @@ def _bm25f_sql() -> str:
     )
 
 
+def _field_query_sql() -> str:
+    """DuckDB oracle for the pinned field/boolean query
+    ``title:customer AND content:join OR window NOT title:data`` —
+    replicates parse_query's DNF match (group1: title:customer AND
+    content:join; group2: window AND NOT title:data) and SearchIndex.search
+    scoring (every distinct positive leaf contributes its field-restricted
+    integer BM25F weight to every MATCHED doc; df per leaf is over that
+    leaf's restricted support in the whole corpus)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        BOOST_TITLE,
+        IDF_SCALE,
+        SNIPPET_CHARS,
+        STEM_SQL_CASE,
+        TITLE_CHARS,
+        _stem,
+    )
+
+    B = BOOST_TITLE
+    cust, join_, win, data = (
+        _stem("customer"),
+        _stem("join"),
+        _stem("window"),
+        _stem("data"),
+    )
+    # positive leaves: w0 = title:customer, w1 = content:join, w2 = window
+    # (either field); w3 = title:data (negation support only)
+    w_cols = (
+        f"({B}*len(list_filter(wt, x -> x = '{cust}')))::BIGINT AS w0, "
+        f"(len(list_filter(wc, x -> x = '{join_}')))::BIGINT AS w1, "
+        f"({B}*len(list_filter(wt, x -> x = '{win}')) + "
+        f"len(list_filter(wc, x -> x = '{win}')))::BIGINT AS w2, "
+        f"({B}*len(list_filter(wt, x -> x = '{data}')))::BIGINT AS w3"
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN w{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(3)
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN (10*tdl*w{i} + 3*tdl + 9*dl*nd) > 0 THEN "
+        f"((CASE WHEN df{i} > 0 THEN (nd*{IDF_SCALE})//df{i} ELSE 0 END) "
+        f"* 22 * w{i} * tdl) // (10*tdl*w{i} + 3*tdl + 9*dl*nd) "
+        f"ELSE 0 END)"
+        for i in range(3)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, text, source, "
+        f"list_transform(regexp_extract_all(lower(substring(text, 1, {TITLE_CHARS})), "
+        f"'[a-z0-9_]+'), t -> {STEM_SQL_CASE}) AS wt, "
+        f"list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+        f"t -> {STEM_SQL_CASE}) AS wc FROM documents), "
+        "tf AS (SELECT doc_id, text, source, "
+        f"({B}*len(wt) + len(wc))::BIGINT AS dl, {w_cols} FROM tok), "
+        "st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tdl, "
+        f"{df_cols} FROM tf), "
+        f"s AS (SELECT doc_id, text, source, ({contribs})::BIGINT AS score, "
+        "((w0 > 0 AND w1 > 0) OR (w2 > 0 AND w3 = 0)) AS m FROM tf, st) "
+        'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+        "doc_id, 'doc://' || source || '/' || doc_id AS url, "
+        f"substring(text, 1, {TITLE_CHARS}) AS title, source AS domain, "
+        "'2025-06-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS crawl_date, "
+        f"score, substring(text, 1, {SNIPPET_CHARS}) AS snippet "
+        f"FROM s WHERE m ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: full crawl of the t1 synthetic web (seeds ->
     schedule -> fetch -> dedup -> decode), returning the image+caption
@@ -129,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (k1=6/5, b=3/4, 2x title boost) so it hash-checks; answered FROM
         # the persisted stemmed index (postings carry tf/tf_title/dl)
         "search_topk_bm25f": search_index.search_topk_bm25f_indexed,
+        # the user-facing query-STRING search path: MultifieldParser
+        # stand-in (field prefixes, AND/OR/NOT) + field-restricted BM25F,
+        # answered from the persisted stemmed index
+        "search_field_query": search_index.search_field_query,
         # index status surface: document_count + generations (the
         # reference's update_stats/get_status, indexer_node.py:188-217);
         # byte sizes are in SearchIndex.stats(), pytest-pinned
@@ -287,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "search_topk_bm25f": _bm25f_sql(),
+        "search_field_query": _field_query_sql(),
         # a fresh build-from-documents index has exactly one generation;
         # document_count is the reference's searcher.doc_count()
         "search_index_stats": (

@@ -132,9 +132,17 @@ def run_bench(num_cpus: int) -> dict:
         ("doc_near_dup_pairs", dataops.doc_near_dup_pairs),
         ("doc_quality_counts", dataops.doc_quality_counts),
         ("ann_topk", dataops.ann_topk),
+        # IVF twice (r3 verdict item 7): default nprobe is the production
+        # configuration; full probe is the oracle configuration (provably
+        # equals brute force) that CORRECTNESS checks
         ("ann_topk_ivf", dataops.ann_topk_ivf),
+        (
+            "ann_topk_ivf_fullprobe",
+            lambda sf: dataops.ann_topk_ivf(sf, nprobe=dataops.IVF_NLIST),
+        ),
         ("emb_near_dup_pairs", dataops.emb_near_dup_pairs),
         ("search_topk", searchops.search_topk),
+        ("search_topk_bm25f", searchops.search_topk_bm25f),
         ("image_phash_near_dup", dataops.image_phash_near_dup),
     ):
         t0 = time.time()

@@ -168,6 +168,9 @@ def parse_query(query_str: str) -> list[list[tuple[str | None, str, bool]]]:
 # ------------------------------------------------------------ search config
 
 QUERY_TERMS = ("customer", "join", "window")  # the pinned benchmark query
+# the pinned field-query benchmark: exercises field restriction, AND/OR
+# grouping, and NOT exclusion through parse_query + SearchIndex.search
+FIELD_QUERY = "title:customer AND content:join OR window NOT title:data"
 TOP_K = 20
 IDF_SCALE = 1000
 SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)

@@ -1460,6 +1460,21 @@ def search_topk_bm25f_indexed(sf_dir: str) -> pa.Table:
     )
 
 
+def search_field_query(sf_dir: str) -> pa.Table:
+    """The pinned field/boolean query through the full user-facing search
+    path — ``parse_query`` (MultifieldParser stand-in) -> DNF match ->
+    field-restricted BM25F -> stored fields — answered from the persisted
+    stemmed index and hash-checked against a DuckDB oracle replicating the
+    same DNF + scoring (the reference's /search endpoint surface,
+    indexer/indexer_node.py:151-183)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        FIELD_QUERY,
+    )
+
+    return index_for(sf_dir, stem=True).search(FIELD_QUERY, k=BM25_TOP_K)
+
+
 def search_index_stats(sf_dir: str) -> pa.Table:
     """Index statistics as a one-row table — the reference's
     ``document_count`` + index-size status surface

@@ -244,6 +244,24 @@ def test_search_pure_negation_rejected(ray_session, tmp_path, corpus):
         idx.search("NOT customer")
 
 
+def test_search_and_bm25f_survive_compaction(ray_session, tmp_path, corpus):
+    """compact() folds generations; BM25F scoring state (tf_title/dl posting
+    columns, meta total_dl) and the query-string search path must answer
+    identically afterwards."""
+    sub2 = {i: "customer window " + corpus[i] for i in range(5, 15)}
+    idx = SearchIndex.create(str(tmp_path / "idx_cmp"), stem=True)
+    idx.update(_docs_table(corpus))
+    idx.update(_docs_table(sub2))
+    before_topk = idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K)
+    before_search = idx.search("title:customer OR window", k=10)
+    st = idx.compact()
+    assert st["compacted"]
+    assert idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K).equals(
+        before_topk
+    )
+    assert idx.search("title:customer OR window", k=10).equals(before_search)
+
+
 # ------------------------------------------------------------------ stats
 
 
