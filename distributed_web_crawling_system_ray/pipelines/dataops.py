@@ -57,16 +57,20 @@ _WS = re.compile(r"\s+")
 
 
 def _read_pq(path, **kw) -> "ray.data.Dataset":
-    """read_parquet + schema-metadata strip.  Testdata parquet written by
-    pandas embeds ``b'pandas'`` metadata in the Arrow schema, making block
-    schemas unhashable — Ray then warns "Failed to hash the schemas" on
-    every multi-block batch unify.  The strip stage is zero-copy and fuses
-    with the downstream map."""
-    return ray.data.read_parquet(path, **kw).map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    """read_parquet with the ``b'pandas'`` schema metadata stripped AT THE
+    READ.  Testdata parquet written by pandas embeds a metadata dict in the
+    Arrow schema, making block schemas unhashable — Ray then warns "Failed
+    to hash the schemas" on every block unify, including inside the
+    ReadParquet operator itself (where a post-read strip map is too late).
+    Passing a cleaned schema makes every produced block metadata-free."""
+    import pyarrow.parquet as _pq
+
+    first = path if isinstance(path, str) else path[0]
+    sch = _pq.read_schema(first)
+    cols = kw.get("columns")
+    if cols:
+        sch = pa.schema([sch.field(c) for c in cols])
+    return ray.data.read_parquet(path, schema=sch.remove_metadata(), **kw)
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
