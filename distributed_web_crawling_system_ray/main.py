@@ -30,6 +30,10 @@ Build / incrementally update a persistent search index, then query it
         --index-dir /tmp/idx --query "customer join window" -k 20
     python -m distributed_web_crawling_system_ray.main search \
         --index-dir /tmp/idx --query "customer join" --mode and
+    python -m distributed_web_crawling_system_ray.main search \
+        --index-dir /tmp/idx --query "title:customer AND window" --mode query
+    python -m distributed_web_crawling_system_ray.main search \
+        --index-dir /tmp/idx --query "-" --mode stats
 
 Replaces the reference's three CLI surfaces (master/crawler/indexer argparse,
 ``master/master_node.py:276-289`` etc.) with one job entry; a job owns its
@@ -95,8 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--query", required=True, help="space-separated terms")
     pq_.add_argument("-k", type=int, default=20)
     pq_.add_argument(
-        "--mode", default="topk", choices=["topk", "and", "df"],
-        help="topk = scored TF-IDF; and = posting-list AND; df = term dfs. "
+        "--mode", default="topk",
+        choices=["topk", "and", "df", "bm25f", "query", "stats"],
+        help="topk = scored TF-IDF; and = posting-list AND; df = term dfs; "
+        "bm25f = field-weighted BM25F with stored result fields; "
+        "query = full query-string search (title:/content: prefixes, "
+        "AND/OR/NOT — the reference's /search endpoint); stats = index "
+        "status (document_count, size). "
         "Query terms stem automatically iff the index was built --stem.",
     )
     pq_.add_argument("--num-cpus", type=int, default=None)
@@ -128,10 +137,26 @@ def main(argv: list[str] | None = None) -> int:
         from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
 
         idx = SearchIndex.open(args.index_dir)
+        if args.mode == "stats":
+            print(json.dumps({"result": idx.stats()}))
+            import ray
+
+            ray.shutdown()
+            return 0
+        if args.mode == "query":
+            # the full query-string path parses the raw string itself
+            out = idx.search(args.query, args.k).to_pylist()
+            print(json.dumps({"query": args.query, "result": out}))
+            import ray
+
+            ray.shutdown()
+            return 0
         # raw v1 tokens; the index stems them itself iff it was built stemmed
         terms = tokenize(args.query)
         if args.mode == "topk":
             out = idx.topk(terms, args.k).to_pylist()
+        elif args.mode == "bm25f":
+            out = idx.topk_bm25f(terms, args.k).to_pylist()
         elif args.mode == "and":
             out = idx.and_terms(terms).column("doc_id").to_pylist()
         else:
