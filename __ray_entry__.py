@@ -199,6 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stand-in (field prefixes, AND/OR/NOT) + field-restricted BM25F,
         # answered from the persisted stemmed index
         "search_field_query": search_index.search_field_query,
+        # Whoosh highlights(top=2) contract: best-2 term-window fragments
+        # with <b> marks (indexer_node.py:166-171).  No SQL oracle — the
+        # greedy fragment-selection loop is not SQL-expressible; the
+        # algorithm is pytest-pinned (tests/test_search.py) and the row
+        # set mirrors oracle-checked search_topk
+        "search_topk_highlighted": search.search_topk_highlighted,
         # index status surface: document_count + generations (the
         # reference's update_stats/get_status, indexer_node.py:188-217);
         # byte sizes are in SearchIndex.stats(), pytest-pinned
