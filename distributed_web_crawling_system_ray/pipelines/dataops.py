@@ -671,26 +671,26 @@ def _near_dup_pairs_distributed(
                     "text": pa.array([], pa.string()),
                 }
             )
-        texts = dict(
-            zip(
-                docs.column("doc_id").to_pylist(),
-                docs.column("text").to_pylist(),
+        # vectorized inner join (membership rows are pairs-scale — the big
+        # side on a dup-heavy corpus — so no per-row Python loop here)
+        m = (
+            mem.select(["doc_id", "bucket"])
+            .to_pandas()
+            .merge(
+                docs.select(["doc_id", "text"]).to_pandas(),
+                on="doc_id",
+                how="inner",
             )
         )
-        out_b, out_d, out_t = [], [], []
-        for d, bk in zip(
-            mem.column("doc_id").to_pylist(), mem.column("bucket").to_pylist()
-        ):
-            t = texts.get(d)
-            if t is not None:
-                out_b.append(bk)
-                out_d.append(d)
-                out_t.append(t)
         return pa.table(
             {
-                "bucket": pa.array(out_b, pa.int32()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "text": pa.array(out_t, pa.string()),
+                "bucket": pa.array(
+                    m["bucket"].to_numpy(dtype=np.int32, copy=False), pa.int32()
+                ),
+                "doc_id": pa.array(
+                    m["doc_id"].to_numpy(dtype=np.int64, copy=False), pa.int64()
+                ),
+                "text": pa.array(m["text"].tolist(), pa.string()),
             }
         )
 
