@@ -117,7 +117,12 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     if (raw[:, 0] == 0).all():  # fast path: our encoder (filter 0 everywhere)
-        return raw[:, 1:].reshape(h, w, 3).copy()
+        # raw[:, 1:] is a strided view, so reshape already materializes one
+        # (writable) copy — a further .copy() would double the write traffic
+        # of the decode hot path.  Only h == 1 makes the slice contiguous,
+        # where reshape stays a read-only view of the frombuffer — copy then.
+        out = raw[:, 1:].reshape(h, w, 3)
+        return out if out.flags.writeable else out.copy()
     return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
 
 

@@ -58,8 +58,18 @@ def phash64(img: np.ndarray) -> int:
     uniform x256 scale cancels in the median-threshold comparison (DC is
     excluded), so no division is needed.
     """
-    p = img.astype(np.uint16)
-    gray = 77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]
+    # channel-at-a-time with in-place ops: never materializes the full
+    # uint16 image, only one h*w plane at a time (max value 77*255 +
+    # 150*255 + 29*255 = 65280 < 2^16, same integers as the old
+    # whole-image form — bit-identical hash)
+    gray = img[:, :, 0].astype(np.uint16)
+    gray *= 77
+    ch = img[:, :, 1].astype(np.uint16)
+    ch *= 150
+    gray += ch
+    ch = img[:, :, 2].astype(np.uint16)
+    ch *= 29
+    gray += ch
     small = _resize_area(gray, _N)
     dct = _DCT @ small @ _DCT.T
     block = dct[:8, :8].flatten()
