@@ -83,7 +83,14 @@ def main(argv: list[str] | None = None) -> int:
     pi = sub.add_parser(
         "index", help="build or incrementally update a persistent search index"
     )
-    pi.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    src_group = pi.add_mutually_exclusive_group(required=True)
+    src_group.add_argument("--docs", help="parquet with (doc_id, text[, source])")
+    src_group.add_argument(
+        "--from-payload",
+        help="crawl/bulk payload output dir: index every crawled caption "
+        "(the reference's crawler->indexer seam; content-addressed doc_ids "
+        "upsert across re-crawls)",
+    )
     pi.add_argument("--index-dir", required=True)
     pi.add_argument("--compact", action="store_true", help="merge generations")
     pi.add_argument(
@@ -116,13 +123,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index":
         import os
 
-        from distributed_web_crawling_system_ray.pipelines.search_index import SearchIndex
+        from distributed_web_crawling_system_ray.pipelines.search_index import (
+            SearchIndex,
+            index_crawl_payload,
+        )
 
-        if os.path.exists(os.path.join(args.index_dir, "meta.json")):
-            idx = SearchIndex.open(args.index_dir)
+        if args.from_payload:
+            idx = index_crawl_payload(
+                args.from_payload, args.index_dir, stem=args.stem
+            )
+            stats = {"source": "payload"}
         else:
-            idx = SearchIndex.create(args.index_dir, stem=args.stem)
-        stats = idx.update(args.docs)
+            if os.path.exists(os.path.join(args.index_dir, "meta.json")):
+                idx = SearchIndex.open(args.index_dir)
+            else:
+                idx = SearchIndex.create(args.index_dir, stem=args.stem)
+            stats = idx.update(args.docs)
         if args.compact:
             stats["compact"] = idx.compact()
         stats["live_docs"] = idx.meta["live_docs"]

@@ -1460,6 +1460,64 @@ def search_topk_bm25f_indexed(sf_dir: str) -> pa.Table:
     )
 
 
+def index_crawl_payload(
+    payload_root: str, index_dir: str, stem: bool = False
+) -> SearchIndex:
+    """The reference's crawler→indexer seam: every crawled document flows
+    into the search index (``crawler_node.send_to_indexer`` →
+    ``indexer update_document``, crawler/crawler_node.py:340-366 +
+    indexer/indexer_node.py:83-106).  In this graft the crawl payload is
+    image+caption rows, so the caption is the indexed text.
+
+    ``doc_id`` = first 15 hex digits of ``image_id`` (a 60-bit slice of the
+    content-addressed md5(canonical url) key) — stable across re-crawls, so
+    re-indexing a later crawl of the same URL UPSERTS its caption exactly
+    like Whoosh's update-by-unique-url.  ``domain`` stores "crawl" (the
+    payload schema carries no host; the reference's own fallback is
+    ``result.get("domain", "unknown")``, indexer_node.py:89).
+
+    ``payload_root`` may be a crawl output root (``round=K/`` partitions)
+    or a flat bulk output directory.
+    """
+    from distributed_web_crawling_system_ray.sources.storage import (
+        payload_files,
+    )
+
+    if any(
+        d.startswith("round=") for d in sorted(os.listdir(payload_root))
+    ):
+        files = payload_files(payload_root)
+    else:
+        files = [
+            os.path.join(payload_root, f)
+            for f in sorted(os.listdir(payload_root))
+            if f.endswith(".parquet")
+        ]
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ids = [
+            int(s[:15], 16) for s in batch.column("image_id").to_pylist()
+        ]
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": batch.column("caption"),
+                "source": pa.array(["crawl"] * n, pa.string()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        files, columns=["image_id", "caption"]
+    ).map_batches(to_docs, batch_format="pyarrow")
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        idx = SearchIndex.open(index_dir)
+    else:
+        idx = SearchIndex.create(index_dir, stem=stem)
+    idx.update(docs)
+    return idx
+
+
 def search_field_query(sf_dir: str) -> pa.Table:
     """The pinned field/boolean query through the full user-facing search
     path — ``parse_query`` (MultifieldParser stand-in) -> DNF match ->
