@@ -154,8 +154,10 @@ def parse_query(query_str: str) -> list[list[tuple[str | None, str, bool]]]:
         word = raw
         if ":" in raw:
             prefix, rest = raw.split(":", 1)
-            if prefix.lower() in QUERY_FIELDS:
-                field = prefix.lower()
+            # case-SENSITIVE like Whoosh field names (r4 advice): 'TITLE:foo'
+            # is an unrecognized prefix and stays plain text
+            if prefix in QUERY_FIELDS:
+                field = prefix
                 word = rest
         for tok in _TOKEN.findall(word.lower()):
             cur.append((field, tok, neg))
@@ -201,8 +203,15 @@ BM25_TOP_K = 10  # the reference's search() default max_results=10
 #   multiplied through by 10*total_dl becomes the all-integer form
 #     (idf * 22*tf_w*total_dl) // (10*total_dl*tf_w + 3*total_dl + 9*dl*N)
 #   which Python and DuckDB floor-divide identically (all terms positive).
-#   int64 bound: idf<=N*1000, so the numerator is ~N*1000*22*tf_w*total_dl —
-#   safe past 10^7 docs of 10^3 tokens; beyond that, rescale IDF_SCALE.
+#   int64 bound (r4 advice): idf <= N*IDF_SCALE and total_dl ~ N*avgdl, so
+#   the numerator ~ 22000 * N^2 * avgdl * tf_w overflows 2^63 already around
+#   N ~ 2*10^5 docs of 10^3 tokens (a df=1 term at N=10^6/avgdl=10^3 reaches
+#   ~2.2e19) — well inside the reference's <=1M-doc envelope.  Python-int
+#   arithmetic (bm25f_contribution) is exact at any scale; the VECTORIZED
+#   paths must go through bm25f_contrib_vec, which bounds-checks the
+#   intermediates and falls back to object-dtype (Python-int) arrays when
+#   int64 could wrap.  The final score always fits: contribution <=
+#   idf*22//10 <= 2.2*N*IDF_SCALE.
 BOOST_TITLE = 2
 
 
@@ -494,6 +503,45 @@ def bm25f_contribution(
     return (idf * 22 * tf_w * total_dl) // den if den > 0 else 0
 
 
+def bm25f_contrib_vec(idf, tf_w, dl, total_dl: int, n: int) -> np.ndarray:
+    """Vectorized ``bm25f_contribution`` over per-row arrays, overflow-safe
+    (r4 advice): int64 kernels run only when a conservative bound proves no
+    intermediate can exceed 2^62; otherwise the identical arithmetic runs on
+    object-dtype arrays (elementwise Python ints — exact at any corpus
+    size), so the vector paths can never silently wrap negative and diverge
+    from the per-row Python / DuckDB oracle arithmetic.
+
+    ``idf`` may be a scalar (one term's idf) or a per-row array.  The
+    RESULT always fits int64: contribution <= idf*22//10 <= 2.2*n*IDF_SCALE.
+    """
+    tf_w = np.asarray(tf_w, dtype=np.int64)
+    dl = np.asarray(dl, dtype=np.int64)
+    nrows = len(tf_w)
+    if nrows == 0:
+        return np.zeros(0, dtype=np.int64)
+    idf_arr = np.asarray(idf, dtype=np.int64)
+    if idf_arr.ndim == 0:
+        idf_arr = np.broadcast_to(idf_arr, (nrows,))
+    total_dl = int(total_dl)
+    n = int(n)
+    max_idf = int(idf_arr.max())
+    max_tfw = int(tf_w.max())
+    max_dl = int(dl.max())
+    num_bound = max_idf * 22 * max_tfw * total_dl
+    den_bound = 10 * total_dl * max_tfw + 3 * total_dl + 9 * max_dl * n
+    if num_bound < 2**62 and den_bound < 2**62:
+        den = 10 * total_dl * tf_w + 3 * total_dl + 9 * dl * n
+        num = idf_arr * 22 * tf_w * total_dl
+        return np.where(den > 0, num // np.maximum(den, 1), 0).astype(np.int64)
+    # big-int path: object arrays carry Python ints, floor division is exact
+    tfw_o = tf_w.astype(object)
+    dl_o = dl.astype(object)
+    den = 10 * total_dl * tfw_o + 3 * total_dl + 9 * dl_o * n
+    num = idf_arr.astype(object) * (22 * total_dl) * tfw_o
+    out = np.where(den > 0, num // np.maximum(den, 1), 0)
+    return out.astype(np.int64)
+
+
 def _bm25f_tf_table(sf_dir: str, terms: list[str]) -> "ray.data.Dataset":
     """One tokenize pass over (title, content) -> per-doc field tf vectors
     plus the weighted doc length ``dl``.  Tokens STEM on both fields (the
@@ -585,14 +633,11 @@ def search_topk_bm25f(sf_dir: str, terms=QUERY_TERMS, k: int = BM25_TOP_K) -> pa
     def local_topk(batch: pa.Table) -> pa.Table:
         dl = batch.column("dl").to_numpy()
         score = np.zeros(batch.num_rows, dtype=np.int64)
-        den_base = 3 * total_dl + 9 * dl * n
         for i in range(q):
             tf_w = BOOST_TITLE * batch.column(f"tft_{i}").to_numpy() + batch.column(
                 f"tfc_{i}"
             ).to_numpy()
-            den = 10 * total_dl * tf_w + den_base
-            num = idf[i] * 22 * tf_w * total_dl
-            score += np.where(den > 0, num // np.maximum(den, 1), 0)
+            score += bm25f_contrib_vec(int(idf[i]), tf_w, dl, total_dl, n)
         t = pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -54,6 +54,7 @@ import ray.data
 from distributed_web_crawling_system_ray.pipelines.search import (
     _TOKEN,
     _stem,
+    bm25f_contrib_vec,
     bm25f_contribution,
     derive_crawl_date,
     derive_url,
@@ -151,11 +152,13 @@ class SearchIndex:
         reference's own fallback (``result.get("domain", "unknown")``).
         """
         if isinstance(docs, str):
-            cols = [
-                c
-                for c in ("doc_id", "text", "source")
-                if c in pq.read_schema(docs).names
-            ]
+            # pyarrow.dataset resolves both a single parquet file and a
+            # directory of parquet files for the source-column probe (r4
+            # advice: pq.read_schema only accepts a single file)
+            import pyarrow.dataset as pads
+
+            names = pads.dataset(docs, format="parquet").schema.names
+            cols = [c for c in ("doc_id", "text", "source") if c in names]
             docs = ray.data.read_parquet(docs, columns=cols)
         elif isinstance(docs, pa.Table):
             cols = [
@@ -1011,11 +1014,9 @@ class SearchIndex:
             tft = batch.column("tf_title").to_numpy(zero_copy_only=False)
             dl = batch.column("dl").to_numpy(zero_copy_only=False)
             tf_w = BOOST_TITLE * tft + tf
-            den = 10 * total_dl * tf_w + 3 * total_dl + 9 * dl * n
-            num = idf_row * 22 * tf_w * total_dl
-            return np.where(den > 0, num // np.maximum(den, 1), 0).astype(
-                np.int64
-            )
+            # overflow-guarded vector kernel (r4 advice): falls back to
+            # Python-int arithmetic when int64 intermediates could wrap
+            return bm25f_contrib_vec(idf_row, tf_w, dl, total_dl, n)
 
         ds = self._pruned_postings(terms, require_content_tf=False)
         n_rows = ds.count() if ds is not None else 0
@@ -1405,9 +1406,19 @@ def index_for(sf_dir: str, stem: bool = False) -> SearchIndex:
         # lost the race: another process swapped its build in between our
         # check and replace — if its index carries the same stamp, use it
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
         if _valid():
+            shutil.rmtree(old, ignore_errors=True)
             return SearchIndex.open(d)
+        # the competing landing doesn't serve this stamp (r4 advice): never
+        # leave the cache slot emptier than before — restore the displaced
+        # previous tree if the slot is vacant, else leave the competitor's
+        if os.path.isdir(d):
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            try:
+                os.replace(old, d)
+            except OSError:
+                shutil.rmtree(old, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)
     return SearchIndex.open(d)

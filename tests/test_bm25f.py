@@ -262,6 +262,62 @@ def test_search_and_bm25f_survive_compaction(ray_session, tmp_path, corpus):
     assert idx.search("title:customer OR window", k=10).equals(before_search)
 
 
+# ------------------------------------------------- overflow-safe vector kernel
+
+
+def test_bm25f_contrib_vec_matches_python_small():
+    from distributed_web_crawling_system_ray.pipelines.search import bm25f_contrib_vec
+
+    rng = np.random.default_rng(3)
+    n, total_dl = 500, 500 * 40
+    idf = rng.integers(0, n * IDF_SCALE, size=200)
+    tf_w = rng.integers(0, 50, size=200)
+    dl = rng.integers(1, 120, size=200)
+    got = bm25f_contrib_vec(idf, tf_w, dl, total_dl, n)
+    want = [
+        bm25f_contribution(int(i), int(w), int(L), total_dl, n)
+        for i, w, L in zip(idf, tf_w, dl)
+    ]
+    assert got.tolist() == want
+    assert got.dtype == np.int64
+
+
+def test_bm25f_contrib_vec_big_corpus_no_int64_wrap():
+    """The r4-advice scenario: n=10^6 docs of avgdl=10^3, a df=1 term —
+    idf*22*tf_w*total_dl ~ 2.2e19 > 2^63.  The vector kernel must route to
+    the Python-int path and match bm25f_contribution exactly (the naive
+    int64 arithmetic wraps negative here)."""
+    from distributed_web_crawling_system_ray.pipelines.search import bm25f_contrib_vec
+
+    n = 10**6
+    total_dl = n * 10**3
+    idf = n * IDF_SCALE  # df = 1
+    tf_w = np.array([1, 3, 17, 400], dtype=np.int64)
+    dl = np.array([10**3, 5 * 10**3, 10**2, 10**4], dtype=np.int64)
+    got = bm25f_contrib_vec(idf, tf_w, dl, total_dl, n)
+    want = [
+        bm25f_contribution(idf, int(w), int(L), total_dl, n)
+        for w, L in zip(tf_w, dl)
+    ]
+    assert got.tolist() == want
+    assert all(s >= 0 for s in got.tolist())
+    # sanity: the naive int64 product really does overflow in this regime
+    assert idf * 22 * int(tf_w.max()) * total_dl >= 2**63
+
+
+def test_bm25f_contrib_vec_scalar_and_empty():
+    from distributed_web_crawling_system_ray.pipelines.search import bm25f_contrib_vec
+
+    assert bm25f_contrib_vec(5, [], [], 100, 10).tolist() == []
+    got = bm25f_contrib_vec(
+        1000, np.array([2, 0]), np.array([10, 10]), 1000, 100
+    )
+    assert got.tolist() == [
+        bm25f_contribution(1000, 2, 10, 1000, 100),
+        0,
+    ]
+
+
 # ------------------------------------------------------------------ stats
 
 

@@ -251,3 +251,23 @@ def test_zero_match_query_pads_with_ascending_ids(ray_session, tmp_path):
     assert t.column("doc_id").to_pylist() == [0, 1, 2]
     assert t.column("score").to_pylist() == [0, 0, 0]
     assert t.column("snippet").to_pylist() == ["alpha beta gamma"] * 3
+
+
+def test_update_from_parquet_directory(ray_session, tmp_path):
+    """A directory of parquet files is a valid ``update()`` source (r4
+    advice: the source-column probe must not assume a single file)."""
+    d = tmp_path / "docs_dir"
+    d.mkdir()
+    pq.write_table(
+        _docs_table({0: "customer join window", 1: "alpha beta"}),
+        str(d / "part_0.parquet"),
+    )
+    pq.write_table(
+        _docs_table({2: "window window join", 3: "gamma delta"}),
+        str(d / "part_1.parquet"),
+    )
+    idx = SearchIndex.create(str(tmp_path / "idx_dir"))
+    st = idx.update(str(d))
+    assert st["n_docs"] == 4
+    assert idx.meta["live_docs"] == 4
+    assert sorted(idx.and_terms(["join", "window"]).column("doc_id").to_pylist()) == [0, 2]
