@@ -105,66 +105,172 @@ def tokenize(text: str, stem: bool = False) -> list[str]:
 QUERY_FIELDS = ("title", "content")
 
 
-def parse_query(query_str: str) -> list[list[tuple[str | None, str, bool]]]:
+# one query leaf: (field, term, negated) — ``term`` is a single token
+# (str) or a PHRASE (tuple of tokens, matched by positional adjacency)
+QueryLeaf = tuple  # (str | None, str | tuple[str, ...], bool)
+
+# lexer: parens; optionally-field-prefixed quoted phrases; bare words
+_LEX = re.compile(r'\(|\)|(?:[A-Za-z0-9_]+:)?"[^"]*"|[^\s()"]+')
+
+
+def _lex_query(query_str: str) -> list:
+    """Raw string -> token stream: '(' / ')' / 'OR' / 'AND' / 'NOT' /
+    ('phrase', field, (tok, ...)) / ('word', field, [tok, ...])."""
+    out: list = []
+    depth = 0
+    for raw in _LEX.findall(query_str):
+        if raw in ("(", ")", "OR", "AND", "NOT"):
+            if raw == "(":
+                depth += 1
+            elif raw == ")":
+                if depth == 0:  # unmatched ')' is noise, not a terminator
+                    continue
+                depth -= 1
+            out.append(raw)
+            continue
+        field: str | None = None
+        body = raw
+        if ":" in raw and not raw.startswith('"'):
+            prefix, rest = raw.split(":", 1)
+            # case-SENSITIVE like Whoosh field names (r4 advice):
+            # 'TITLE:foo' is an unrecognized prefix and stays plain text
+            if prefix in QUERY_FIELDS:
+                field = prefix
+                body = rest
+        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+            toks = tuple(_TOKEN.findall(body[1:-1].lower()))
+            out.append(("phrase", field, toks))
+        else:
+            out.append(("word", field, _TOKEN.findall(body.lower())))
+    return out
+
+
+def _negate(node):
+    kind = node[0]
+    if kind == "leaf":
+        _, f, t, neg = node
+        return ("leaf", f, t, not neg)
+    if kind == "wordand":
+        # a multi-token WORD is one lexical unit: ``NOT foo-bar`` excludes
+        # each of its tokens independently (the pre-parens pinned contract),
+        # NOT De Morgan — parenthesized groups get proper De Morgan below
+        return ("wordand", [_negate(c) for c in node[1]])
+    if kind == "and":
+        return ("or", [_negate(c) for c in node[1]])
+    return ("and", [_negate(c) for c in node[1]])
+
+
+def _parse_or(toks: list, i: int):
+    nodes = []
+    node, i = _parse_and(toks, i)
+    if node is not None:
+        nodes.append(node)
+    while i < len(toks) and toks[i] == "OR":
+        node, i = _parse_and(toks, i + 1)
+        if node is not None:
+            nodes.append(node)
+    if not nodes:
+        return None, i
+    return (("or", nodes) if len(nodes) > 1 else nodes[0]), i
+
+
+def _parse_and(toks: list, i: int):
+    nodes = []
+    while i < len(toks) and toks[i] not in ("OR", ")"):
+        if toks[i] == "AND":
+            i += 1
+            continue
+        node, i = _parse_unary(toks, i)
+        if node is not None:
+            nodes.append(node)
+    if not nodes:
+        return None, i
+    return (("and", nodes) if len(nodes) > 1 else nodes[0]), i
+
+
+def _parse_unary(toks: list, i: int):
+    t = toks[i]
+    if t == "NOT":
+        if i + 1 >= len(toks):
+            return None, i + 1
+        node, i = _parse_unary(toks, i + 1)
+        return (None if node is None else _negate(node)), i
+    if t == "(":
+        node, i = _parse_or(toks, i + 1)
+        if i < len(toks) and toks[i] == ")":
+            i += 1
+        return node, i
+    # stray ')' is consumed by _parse_and's stop condition; here only
+    # word/phrase tokens remain
+    i += 1
+    kind, field, body = t
+    if kind == "phrase":
+        if not body:
+            return None, i
+        if len(body) == 1:  # one-token "phrase" is a plain term (Whoosh)
+            return ("leaf", field, body[0], False), i
+        return ("leaf", field, tuple(body), False), i
+    leaves = [("leaf", field, tok, False) for tok in body]
+    if not leaves:
+        return None, i
+    return (("wordand", leaves) if len(leaves) > 1 else leaves[0]), i
+
+
+def _dnf(node) -> list[list[QueryLeaf]]:
+    kind = node[0]
+    if kind == "leaf":
+        _, f, t, neg = node
+        return [[(f, t, neg)]]
+    if kind in ("and", "wordand"):
+        out: list[list[QueryLeaf]] = [[]]
+        for ch in node[1]:
+            out = [g + h for g in out for h in _dnf(ch)]
+        return out
+    return [grp for ch in node[1] for grp in _dnf(ch)]
+
+
+def parse_query(query_str: str) -> list[list[QueryLeaf]]:
     """Parse a user query string into disjunctive normal form — the
     stand-in for the reference's ``MultifieldParser(["title", "content"])``
-    with Whoosh's default AndGroup (indexer/indexer_node.py:151-162).
+    with Whoosh's default AndGroup (indexer/indexer_node.py:151-162, which
+    feeds the raw user string to Whoosh's full grammar: parens, quoted
+    phrases, AND/OR/NOT).
 
     Returns OR-groups: a list of AND-groups, each a list of
     ``(field, term, negated)`` leaves where ``field`` is ``"title"`` /
-    ``"content"`` or ``None`` (bare term — matches either field, the
-    multifield default).
+    ``"content"`` or ``None`` (bare — matches either field, the multifield
+    default) and ``term`` is a single token (str) or a PHRASE (tuple of
+    tokens — matched by positional adjacency in the restricted field).
 
-    Grammar (whitespace-tokenized, no parentheses — the reference never
-    issues nested queries):
+    Grammar (recursive descent):
 
-    - adjacency and ``AND`` both conjoin within a group (Whoosh AndGroup);
-    - ``OR`` starts a new group;
-    - ``NOT`` negates the next leaf;
-    - ``field:word`` restricts a leaf to one recognized field; an
-      unrecognized prefix is treated as part of the term text (Whoosh
-      treats unknown fields as plain text);
+    - adjacency and ``AND`` both conjoin (Whoosh AndGroup); ``OR``
+      alternates; ``( ... )`` nests; the DNF expansion distributes
+      conjunctions over nested ORs;
+    - ``NOT`` negates the next unary: a leaf directly, a parenthesized
+      group via De Morgan (``NOT (a OR b)`` -> ``NOT a AND NOT b``).  A
+      multi-token WORD (``foo-bar``) is one lexical unit — ``NOT foo-bar``
+      negates each of its tokens in place (pinned pre-parens contract);
+    - ``"quoted words"`` is a phrase leaf; ``title:"quoted words"``
+      restricts it to one field; a one-token phrase degrades to a term;
+    - ``field:word`` restricts a leaf to one recognized field —
+      case-SENSITIVELY, like Whoosh field names (an unrecognized prefix
+      such as ``TITLE:`` or ``xyz:`` stays part of the term text);
     - operator words must be UPPERCASE (Whoosh default) — lowercase
       ``and``/``or``/``not`` are ordinary terms;
     - each source word is normalized through the index tokenizer; a word
-      that splits into several tokens (``foo-bar``) contributes each token
-      as a leaf with the same field/negation.
+      that splits into several tokens contributes each token as a leaf
+      with the same field/negation.
 
     Empty groups (e.g. from ``OR OR``) are dropped.  Stemming is NOT
-    applied here — the caller stems leaves with the index's own
-    ``_prep_terms`` so parsed queries match both stem modes.
+    applied here — the caller stems leaves (phrase constituents included)
+    with the index's own ``_prep_terms`` so parsed queries match both stem
+    modes.
     """
-    groups: list[list[tuple[str | None, str, bool]]] = []
-    cur: list[tuple[str | None, str, bool]] = []
-    neg = False
-    for raw in query_str.split():
-        if raw == "OR":
-            if cur:
-                groups.append(cur)
-            cur = []
-            neg = False
-            continue
-        if raw == "AND":
-            neg = False
-            continue
-        if raw == "NOT":
-            neg = True
-            continue
-        field: str | None = None
-        word = raw
-        if ":" in raw:
-            prefix, rest = raw.split(":", 1)
-            # case-SENSITIVE like Whoosh field names (r4 advice): 'TITLE:foo'
-            # is an unrecognized prefix and stays plain text
-            if prefix in QUERY_FIELDS:
-                field = prefix
-                word = rest
-        for tok in _TOKEN.findall(word.lower()):
-            cur.append((field, tok, neg))
-        neg = False
-    if cur:
-        groups.append(cur)
-    return groups
+    root, _ = _parse_or(_lex_query(query_str), 0)
+    if root is None:
+        return []
+    return [grp for grp in _dnf(root) if grp]
 
 
 # ------------------------------------------------------------ search config

@@ -78,6 +78,60 @@ def test_parse_query_field_and_tokenization():
     assert parse_query("") == []
 
 
+def test_parse_query_parens_distribute():
+    assert parse_query("(a OR b) AND c") == [
+        [(None, "a", False), (None, "c", False)],
+        [(None, "b", False), (None, "c", False)],
+    ]
+    assert parse_query("(a OR (b AND d)) AND (c OR e)") == [
+        [(None, "a", False), (None, "c", False)],
+        [(None, "a", False), (None, "e", False)],
+        [(None, "b", False), (None, "d", False), (None, "c", False)],
+        [(None, "b", False), (None, "d", False), (None, "e", False)],
+    ]
+    # unbalanced parens degrade gracefully
+    assert parse_query("(a OR b") == [[(None, "a", False)], [(None, "b", False)]]
+    assert parse_query("a) b") == [[(None, "a", False), (None, "b", False)]]
+
+
+def test_parse_query_not_groups_de_morgan():
+    # NOT (a OR b) -> NOT a AND NOT b; NOT (a b) -> NOT a OR NOT b
+    assert parse_query("c NOT (a OR b)") == [
+        [(None, "c", False), (None, "a", True), (None, "b", True)]
+    ]
+    assert parse_query("c NOT (a b)") == [
+        [(None, "c", False), (None, "a", True)],
+        [(None, "c", False), (None, "b", True)],
+    ]
+    assert parse_query("NOT NOT a b") == [
+        [(None, "a", False), (None, "b", False)]
+    ]
+
+
+def test_parse_query_phrases():
+    assert parse_query('"customer join"') == [
+        [(None, ("customer", "join"), False)]
+    ]
+    assert parse_query('title:"foo bar" AND baz') == [
+        [("title", ("foo", "bar"), False), (None, "baz", False)]
+    ]
+    # one-token phrase degrades to a plain term; empty phrase drops
+    assert parse_query('"x" y ""') == [
+        [(None, "x", False), (None, "y", False)]
+    ]
+    # negated phrase stays a single excluded unit
+    assert parse_query('a NOT "b c"') == [
+        [(None, "a", False), (None, ("b", "c"), True)]
+    ]
+
+
+def test_parse_query_field_prefix_case_sensitive():
+    # Whoosh field names are case-sensitive (r4 advice): TITLE: is text
+    assert parse_query("TITLE:foo") == [
+        [(None, "title", False), (None, "foo", False)]
+    ]
+
+
 # --------------------------------------------------------------- fixtures
 
 
