@@ -55,7 +55,6 @@ from distributed_web_crawling_system_ray.pipelines.search import (
     _TOKEN,
     _stem,
     bm25f_contrib_vec,
-    bm25f_contribution,
     derive_crawl_date,
     derive_url,
     parse_query,
@@ -80,6 +79,21 @@ def _atomic_write_table(tbl: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
+
+
+def _adjacent_count(pos_lists: list[list[int]]) -> int:
+    """Number of phrase START positions: ``p`` such that ``p + i`` appears
+    in ``pos_lists[i]`` for every constituent ``i`` — the positional-
+    postings intersection at the heart of phrase matching (Whoosh/Lucene
+    PhraseQuery semantics over within-field token positions)."""
+    if any(not pl for pl in pos_lists):
+        return 0
+    starts = set(pos_lists[0])
+    for i in range(1, len(pos_lists)):
+        starts &= {p - i for p in pos_lists[i]}
+        if not starts:
+            return 0
+    return len(starts)
 
 
 class SearchIndex:
@@ -113,6 +127,10 @@ class SearchIndex:
             "n_dparts": n_dparts,
             "driver_id_limit": driver_id_limit,
             "stem": stem,
+            # postings carry per-field token positions (phrase support);
+            # False on indexes built by pre-r5 code — phrase queries on
+            # those raise instead of mis-answering
+            "positions": True,
             "generations": [],
             "live_docs": 0,
             # Σ dl over LIVE docs (BM25F's N*avgdl) — maintained exactly
@@ -203,44 +221,55 @@ class SearchIndex:
         if len(new_ids) != len(all_ids):
             docs_mat = self._collapse_submission_dups(docs_mat)
 
-        # one tokenize pass -> postings rows (term, doc_id, tf, tf_title, dl)
-        # + per-doc stored-field rows; both leave the worker as Arrow, the
-        # text column never does.  ``tf`` is the content (full-text) term
-        # frequency — v1 TF-IDF queries filter tf>0 so a title-only term
-        # (e.g. a token truncated at the title cut) never perturbs them;
-        # BM25F uses all rows (tf_w = BOOST_TITLE*tf_title + tf > 0 by
-        # construction).  ``dl`` (the BM25F weighted doc length) is
-        # DENORMALIZED into every posting row so scoring needs no second
-        # read — the impact-ordered-index trade: +8 B/row for a
-        # postings-only query path.
+        # one tokenize pass -> postings rows (term, doc_id, tf, tf_title,
+        # dl, pos, pos_title) + per-doc stored-field rows; both leave the
+        # worker as Arrow, the text column never does.  ``tf`` is the
+        # content (full-text) term frequency — v1 TF-IDF queries filter
+        # tf>0 so a title-only term (e.g. a token truncated at the title
+        # cut) never perturbs them; BM25F uses all rows (tf_w =
+        # BOOST_TITLE*tf_title + tf > 0 by construction).  ``dl`` (the
+        # BM25F weighted doc length) is DENORMALIZED into every posting row
+        # so scoring needs no second read — the impact-ordered-index trade:
+        # +8 B/row for a postings-only query path.  ``pos``/``pos_title``
+        # are the term's token positions in each field — the positional
+        # postings that make PHRASE queries answerable from the index (the
+        # Lucene/Whoosh positions trade: the standard ~2-4x postings bytes
+        # for exact adjacency match); non-phrase queries never read them
+        # (column-pruned, see _pruned_postings).
         def explode(batch: pa.Table) -> pa.Table:
             terms: list[str] = []
             dids: list[int] = []
             tfs: list[int] = []
             tfts: list[int] = []
             dls: list[int] = []
+            poss: list[list[int]] = []
+            tposs: list[list[int]] = []
             for did, text in zip(
                 batch.column("doc_id").to_pylist(),
                 batch.column("text").to_pylist(),
             ):
-                counts: dict[str, int] = {}
-                tcounts: dict[str, int] = {}
                 ctoks = _TOKEN.findall(text.lower())
                 ttoks = _TOKEN.findall(text[:TITLE_CHARS].lower())
-                for tok in ctoks:
-                    if stem:
-                        tok = _stem(tok)
-                    counts[tok] = counts.get(tok, 0) + 1
-                for tok in ttoks:
-                    if stem:
-                        tok = _stem(tok)
-                    tcounts[tok] = tcounts.get(tok, 0) + 1
+                if stem:
+                    ctoks = [_stem(t) for t in ctoks]
+                    ttoks = [_stem(t) for t in ttoks]
+                cpos: dict[str, list[int]] = {}
+                tpos: dict[str, list[int]] = {}
+                for p, tok in enumerate(ctoks):
+                    cpos.setdefault(tok, []).append(p)
+                for p, tok in enumerate(ttoks):
+                    tpos.setdefault(tok, []).append(p)
                 dl = BOOST_TITLE * len(ttoks) + len(ctoks)
-                union = counts.keys() | tcounts.keys()
+                union = cpos.keys() | tpos.keys()
                 terms.extend(union)
                 dids.extend([did] * len(union))
-                tfs.extend(counts.get(t, 0) for t in union)
-                tfts.extend(tcounts.get(t, 0) for t in union)
+                for t in union:
+                    cp = cpos.get(t, [])
+                    tp = tpos.get(t, [])
+                    tfs.append(len(cp))
+                    tfts.append(len(tp))
+                    poss.append(cp)
+                    tposs.append(tp)
                 dls.extend([dl] * len(union))
             part = np.fromiter(
                 (_term_part(t, n_parts) for t in terms),
@@ -254,6 +283,8 @@ class SearchIndex:
                     "tf": pa.array(tfs, pa.int64()),
                     "tf_title": pa.array(tfts, pa.int64()),
                     "dl": pa.array(dls, pa.int64()),
+                    "pos": pa.array(poss, pa.list_(pa.int32())),
+                    "pos_title": pa.array(tposs, pa.list_(pa.int32())),
                     "part": pa.array(part, pa.int32()),
                 }
             )
@@ -433,11 +464,15 @@ class SearchIndex:
             .map_groups(collapse, batch_format="pyarrow")
         ).materialize()
 
-    def _prep_terms(self, terms: list[str]) -> list[str]:
+    def _prep_terms(self, terms: list) -> list:
         """Query terms stem iff the index was built stemmed — both sides of
-        the match transform identically, the Whoosh contract."""
+        the match transform identically, the Whoosh contract.  A PHRASE
+        (tuple of tokens) stems each constituent."""
         if self.meta.get("stem", False):
-            return [_stem(t) for t in terms]
+            return [
+                tuple(_stem(x) for x in t) if isinstance(t, tuple) else _stem(t)
+                for t in terms
+            ]
         return list(terms)
 
     def _distributed_overlap(self, prior_files: list[str], gd: str) -> np.ndarray:
@@ -641,7 +676,10 @@ class SearchIndex:
         return files
 
     def _pruned_postings(
-        self, terms: list[str], require_content_tf: bool = True
+        self,
+        terms: list[str],
+        require_content_tf: bool = True,
+        with_positions: bool = False,
     ) -> "ray.data.Dataset | None":
         """Dataset over ONLY the hash partitions that can hold ``terms``,
         filtered to the terms and to live (non-superseded) rows.
@@ -650,12 +688,19 @@ class SearchIndex:
         rows (tf == 0): the v1 TF-IDF/AND/df queries are defined over
         full-text tokens and must not see a token that exists only as a
         title truncation.  BM25F passes False — it scores the field union.
+
+        ``with_positions`` additionally reads the ``pos``/``pos_title``
+        list columns (phrase queries only — they are the bulk of the
+        postings bytes, so every other query path prunes them at the read).
         """
         n_parts = self.meta["n_parts"]
         parts = {_term_part(t, n_parts) for t in terms}
         files = self._all_files("postings", parts)
         if not files:
             return None
+        columns = ["term", "doc_id", "tf", "tf_title", "dl", "gen"]
+        if with_positions:
+            columns += ["pos", "pos_title"]
         last_gen = self._last_gen_map()
         term_set = set(terms)
 
@@ -678,7 +723,7 @@ class SearchIndex:
             return t
 
         return (
-            ray.data.read_parquet(files)
+            ray.data.read_parquet(files, columns=columns)
             .map_batches(keep, batch_format="pyarrow")
             .materialize()
         )
@@ -1096,21 +1141,26 @@ class SearchIndex:
     def search(self, query_str: str, k: int = 10) -> pa.Table:
         """The reference's user-facing search endpoint
         (``indexer/indexer_node.py:151-183``): a query STRING with
-        field-specific terms (``title:term`` / ``content:term``) and boolean
-        operators (AND / OR / NOT), parsed by ``parse_query`` (the
-        MultifieldParser stand-in), matched against the index, and ranked
-        with BM25F.
+        field-specific terms (``title:term`` / ``content:term``), boolean
+        operators (AND / OR / NOT), parenthesized groups and quoted
+        PHRASES, parsed by ``parse_query`` (the MultifieldParser stand-in
+        — Whoosh's default grammar accepts all of these), matched against
+        the index, and ranked with BM25F.
 
         Matching: the query in disjunctive normal form — OR of AND-groups;
         a bare term matches either field, ``title:x`` / ``content:x``
         restrict to one field; ``NOT x`` excludes (only inside a group with
         at least one positive term — a pure-negation group is rejected,
-        like Whoosh's requirement of at least one positive clause).
+        like Whoosh's requirement of at least one positive clause).  A
+        phrase leaf matches docs where its tokens appear ADJACENT in the
+        restricted field, verified against the positional postings.
 
-        Scoring: each distinct positive (field, term) leaf contributes its
+        Scoring: each distinct positive leaf contributes its
         field-restricted BM25F weight (bare terms use the boosted field
         union; ``title:x`` only ``BOOST_TITLE*tf_title``; ``content:x``
-        only ``tf``), summed per matching doc.
+        only ``tf``; a phrase uses its OCCURRENCE count — the phrase
+        frequency — in place of tf, with df = number of docs containing
+        the phrase), summed per matching doc.
 
         The candidate postings for the query's terms are folded driver-side
         (bounded by the per-term document frequencies, the classic
@@ -1129,45 +1179,143 @@ class SearchIndex:
                 raise ValueError(
                     "pure-negation query group is not matchable: " + query_str
                 )
-        all_terms = sorted({t for grp in groups for _, t, _ in grp})
+        has_phrase = any(
+            isinstance(t, tuple) for grp in groups for _, t, _ in grp
+        )
+        if has_phrase and not self.meta.get("positions", False):
+            raise ValueError(
+                "phrase query needs positional postings — this index was "
+                "built by a pre-positions format; rebuild it"
+            )
+        all_terms = sorted(
+            {
+                x
+                for grp in groups
+                for _, t, _ in grp
+                for x in (t if isinstance(t, tuple) else (t,))
+            }
+        )
         n = int(self.meta["live_docs"])
         total_dl = int(self.meta.get("total_dl", 0))
-        ds = self._pruned_postings(all_terms, require_content_tf=False)
+        ds = self._pruned_postings(
+            all_terms, require_content_tf=False, with_positions=has_phrase
+        )
         parts = (
             [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
             if ds is not None
             else []
         )
-        # per-term posting arrays (ids, tf, tf_title, dl)
-        post: dict[str, list[np.ndarray]] = {}
+        # per-term posting columns (ids, tf, tf_title, dl[, positions])
+        acc: dict[str, dict[str, list]] = {}
         for t in parts:
             terms_np = t.column("term")
             for term in all_terms:
-                m = pc.equal(terms_np, term)
-                sub = t.filter(m)
-                if sub.num_rows:
-                    post.setdefault(term, []).append(
-                        np.stack(
-                            [
-                                sub.column(c).to_numpy(zero_copy_only=False)
-                                for c in ("doc_id", "tf", "tf_title", "dl")
-                            ]
-                        )
-                    )
-        cat = {
-            term: np.concatenate(arrs, axis=1) for term, arrs in post.items()
-        }
+                sub = t.filter(pc.equal(terms_np, term))
+                if not sub.num_rows:
+                    continue
+                e = acc.setdefault(
+                    term, {"ids": [], "tf": [], "tft": [], "dl": [], "pos": [], "post": []}
+                )
+                for key, col in (
+                    ("ids", "doc_id"),
+                    ("tf", "tf"),
+                    ("tft", "tf_title"),
+                    ("dl", "dl"),
+                ):
+                    e[key].append(sub.column(col).to_numpy(zero_copy_only=False))
+                if has_phrase:
+                    e["pos"].append(sub.column("pos").to_pylist())
+                    e["post"].append(sub.column("pos_title").to_pylist())
+        cat: dict[str, dict] = {}
+        for term, e in acc.items():
+            cat[term] = {
+                "ids": np.concatenate(e["ids"]),
+                "tf": np.concatenate(e["tf"]),
+                "tft": np.concatenate(e["tft"]),
+                "dl": np.concatenate(e["dl"]),
+                "pos": [p for part in e["pos"] for p in part],
+                "post": [p for part in e["post"] for p in part],
+            }
 
-        def leaf_ids(field: str | None, term: str) -> np.ndarray:
+        _empty3 = (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+
+        def term_support(field: str | None, term: str):
+            """(ids, tf_w, dl) of docs where the single-term leaf matches."""
             a = cat.get(term)
             if a is None:
-                return np.zeros(0, dtype=np.int64)
-            ids, tf, tft = a[0], a[1], a[2]
+                return _empty3
             if field == "title":
-                return ids[tft > 0]
-            if field == "content":
-                return ids[tf > 0]
-            return ids  # union rows all have tf_w > 0
+                w = BOOST_TITLE * a["tft"]
+            elif field == "content":
+                w = a["tf"]
+            else:
+                w = BOOST_TITLE * a["tft"] + a["tf"]
+            sel = w > 0
+            return a["ids"][sel], w[sel], a["dl"][sel]
+
+        phrase_cache: dict = {}
+
+        def phrase_support(field: str | None, toks: tuple):
+            """(ids, tf_w, dl) of docs where the phrase occurs in scope —
+            tf_w is the field-weighted PHRASE frequency.  Candidates are
+            the AND of constituent postings; adjacency verifies against
+            the position lists (cost: Σ positions of candidates)."""
+            key = (field, toks)
+            if key in phrase_cache:
+                return phrase_cache[key]
+            entries = [cat.get(x) for x in toks]
+            if any(e is None for e in entries):
+                phrase_cache[key] = _empty3
+                return _empty3
+            cand = entries[0]["ids"]
+            for e in entries[1:]:
+                cand = np.intersect1d(cand, e["ids"])
+            if not len(cand):
+                phrase_cache[key] = _empty3
+                return _empty3
+            idx_maps = [
+                {int(d): i for i, d in enumerate(e["ids"])} for e in entries
+            ]
+            out_ids: list[int] = []
+            out_w: list[int] = []
+            out_dl: list[int] = []
+            for d in cand:
+                di = int(d)
+                rows = [m[di] for m in idx_maps]
+                c_occ = _adjacent_count(
+                    [entries[j]["pos"][rows[j]] for j in range(len(toks))]
+                )
+                t_occ = _adjacent_count(
+                    [entries[j]["post"][rows[j]] for j in range(len(toks))]
+                )
+                if field == "title":
+                    w = BOOST_TITLE * t_occ
+                elif field == "content":
+                    w = c_occ
+                else:
+                    w = BOOST_TITLE * t_occ + c_occ
+                if w > 0:
+                    out_ids.append(di)
+                    out_w.append(w)
+                    out_dl.append(int(entries[0]["dl"][rows[0]]))
+            res = (
+                np.asarray(out_ids, dtype=np.int64),
+                np.asarray(out_w, dtype=np.int64),
+                np.asarray(out_dl, dtype=np.int64),
+            )
+            phrase_cache[key] = res
+            return res
+
+        def leaf_support(field: str | None, t):
+            return (
+                phrase_support(field, t)
+                if isinstance(t, tuple)
+                else term_support(field, t)
+            )
 
         match: np.ndarray | None = None
         for grp in groups:
@@ -1175,11 +1323,11 @@ class SearchIndex:
             for field, term, neg in grp:
                 if neg:
                     continue
-                s = leaf_ids(field, term)
+                s = leaf_support(field, term)[0]
                 gm = s if gm is None else np.intersect1d(gm, s)
             for field, term, neg in grp:
                 if neg and gm is not None and len(gm):
-                    gm = np.setdiff1d(gm, leaf_ids(field, term))
+                    gm = np.setdiff1d(gm, leaf_support(field, term)[0])
             if gm is not None:
                 match = gm if match is None else np.union1d(match, gm)
         match = match if match is not None else np.zeros(0, dtype=np.int64)
@@ -1187,30 +1335,21 @@ class SearchIndex:
         # score the matches: distinct positive leaves, field-restricted tf_w
         leaves = sorted(
             {(f, t) for grp in groups for f, t, neg in grp if not neg},
-            key=lambda x: (x[0] or "", x[1]),
+            key=lambda x: (x[0] or "", x[1] if isinstance(x[1], str) else " ".join(x[1])),
         )
         scores: dict[int, int] = {int(d): 0 for d in match}
         mset = set(scores)
         for field, term in leaves:
-            a = cat.get(term)
-            if a is None:
+            ids, tf_w, dl = leaf_support(field, term)
+            df = len(ids)
+            if df == 0:
                 continue
-            ids, tf, tft, dl = a[0], a[1], a[2], a[3]
-            if field == "title":
-                tf_w = BOOST_TITLE * tft
-            elif field == "content":
-                tf_w = tf
-            else:
-                tf_w = BOOST_TITLE * tft + tf
-            sel = tf_w > 0
-            df = int(sel.sum())
-            idf = (n * IDF_SCALE) // df if df > 0 else 0
-            for d, w, L in zip(ids[sel], tf_w[sel], dl[sel]):
+            idf = (n * IDF_SCALE) // df
+            contrib = bm25f_contrib_vec(idf, tf_w, dl, total_dl, n)
+            for d, c in zip(ids, contrib):
                 di = int(d)
                 if di in mset:
-                    scores[di] += bm25f_contribution(
-                        idf, int(w), int(L), total_dl, n
-                    )
+                    scores[di] += int(c)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         ids = [d for d, _ in ranked]
         fields_map = self._stored_fields(ids)
@@ -1343,7 +1482,8 @@ _INDEX_CACHE_ROOT = os.environ.get(
 
 # bump when the on-disk layout or scoring-relevant build logic changes: a
 # stale-format cache must rebuild, never serve wrong hash-checked results
-INDEX_FORMAT_VERSION = 2
+# (3: positional postings — pos/pos_title list columns for phrase queries)
+INDEX_FORMAT_VERSION = 3
 
 
 def index_for(sf_dir: str, stem: bool = False) -> SearchIndex:

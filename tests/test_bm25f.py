@@ -224,13 +224,23 @@ def _brute_force_search(rows: dict[int, str], query: str, k: int):
     }
     total_dl = sum(dl.values())
 
+    def _occ(stream, term):
+        if isinstance(term, tuple):  # phrase: count adjacent runs
+            m = len(term)
+            return sum(
+                1
+                for i in range(len(stream) - m + 1)
+                if tuple(stream[i : i + m]) == term
+            )
+        return stream.count(term)
+
     def tf_w(d, field, term):
         tt, ct = toks[d]
         if field == "title":
-            return BOOST_TITLE * tt.count(term)
+            return BOOST_TITLE * _occ(tt, term)
         if field == "content":
-            return ct.count(term)
-        return BOOST_TITLE * tt.count(term) + ct.count(term)
+            return _occ(ct, term)
+        return BOOST_TITLE * _occ(tt, term) + _occ(ct, term)
 
     groups = parse_query(query)
     match: set[int] = set()
@@ -266,6 +276,14 @@ def _brute_force_search(rows: dict[int, str], query: str, k: int):
         "content:window AND NOT title:customer",
         "customer OR title:join window",
         "title:customer AND content:join OR data",
+        # phrases (positional postings) + parens (DNF expansion)
+        '"customer join"',
+        '"customer join window"',
+        'content:"join window" OR title:customer',
+        'title:"customer join"',
+        'window NOT "customer join"',
+        "(customer OR join) AND window",
+        "window NOT (customer OR title:join)",
     ],
 )
 def test_search_query_string_matches_brute_force(
@@ -308,12 +326,39 @@ def test_search_and_bm25f_survive_compaction(ray_session, tmp_path, corpus):
     idx.update(_docs_table(sub2))
     before_topk = idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K)
     before_search = idx.search("title:customer OR window", k=10)
+    # phrase over the STEMMED index: 'customers joining' stems to the
+    # ('customer', 'join') phrase — positions must survive compaction too
+    before_phrase = idx.search('"customers joining" OR window', k=10)
     st = idx.compact()
     assert st["compacted"]
     assert idx.topk_bm25f(list(search.QUERY_TERMS), search.BM25_TOP_K).equals(
         before_topk
     )
     assert idx.search("title:customer OR window", k=10).equals(before_search)
+    assert idx.search('"customers joining" OR window', k=10).equals(before_phrase)
+
+
+def test_phrase_on_stemmed_index_stems_constituents(ray_session, tmp_path):
+    """Both sides of a phrase stem (the Whoosh contract): a doc whose
+    stemmed stream contains adjacent ('customer','join') matches the query
+    phrase '"customers joining"' on a stemmed index."""
+    rows = {
+        0: "many customers joining the queue",   # stems -> customer join
+        1: "customers of joining era",            # not adjacent after stem? (of between)
+        2: "customer join now",                   # literal
+        3: "join customer",                       # reversed - no match
+    }
+    idx = SearchIndex.create(str(tmp_path / "idx_ph"), stem=True)
+    idx.update(_docs_table(rows))
+    got = idx.search('"customers joining"', k=10)
+    matched = [
+        d
+        for d, s in zip(
+            got.column("doc_id").to_pylist(), got.column("score").to_pylist()
+        )
+        if s > 0
+    ]
+    assert sorted(matched) == [0, 2]
 
 
 # ------------------------------------------------- overflow-safe vector kernel
