@@ -141,6 +141,139 @@ def _field_query_sql() -> str:
     )
 
 
+def _phrase_occ_sql(stream: str, toks: list[str]) -> str:
+    """DuckDB expression counting PHRASE occurrences (adjacent runs of
+    ``toks``) inside a tokenized-list column ``stream`` — the SQL mirror of
+    the index's positional-postings adjacency count."""
+    m = len(toks)
+    conds = " AND ".join(
+        (f"{stream}[i] = '{t}'" if j == 0 else f"{stream}[i+{j}] = '{t}'")
+        for j, t in enumerate(toks)
+    )
+    return (
+        f"len(list_filter(generate_series(1, len({stream}) - {m - 1}), "
+        f"i -> {conds}))"
+    )
+
+
+def _tok_prologue() -> str:
+    """Shared CTE prologue: per-doc stemmed token lists for title (wt) and
+    content (wc) + weighted doc length — identical across the query-string
+    search oracles."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BOOST_TITLE,
+        STEM_SQL_CASE,
+        TITLE_CHARS,
+    )
+
+    return (
+        "WITH tok AS (SELECT doc_id, text, source, "
+        f"list_transform(regexp_extract_all(lower(substring(text, 1, {TITLE_CHARS})), "
+        f"'[a-z0-9_]+'), t -> {STEM_SQL_CASE}) AS wt, "
+        f"list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+        f"t -> {STEM_SQL_CASE}) AS wc FROM documents), "
+        "tf0_ AS (SELECT doc_id, text, source, "
+        f"({BOOST_TITLE}*len(wt) + len(wc))::BIGINT AS dl, wt, wc FROM tok)"
+    )
+
+
+def _contrib_sql(i: int) -> str:
+    from distributed_web_crawling_system_ray.pipelines.search import IDF_SCALE
+
+    return (
+        f"(CASE WHEN (10*tdl*w{i} + 3*tdl + 9*dl*nd) > 0 THEN "
+        f"((CASE WHEN df{i} > 0 THEN (nd*{IDF_SCALE})//df{i} ELSE 0 END) "
+        f"* 22 * w{i} * tdl) // (10*tdl*w{i} + 3*tdl + 9*dl*nd) "
+        f"ELSE 0 END)"
+    )
+
+
+def _search_result_sql(w_cols: str, n_pos: int, match_expr: str) -> str:
+    """Assemble the standard query-string-search oracle: leaf weights ->
+    corpus stats -> integer BM25F score of the positive leaves -> DNF match
+    filter -> ranked stored-field rows (the SearchIndex.search contract)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        SNIPPET_CHARS,
+        TITLE_CHARS,
+    )
+
+    df_cols = ", ".join(
+        f"sum(CASE WHEN w{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(n_pos)
+    )
+    contribs = " + ".join(_contrib_sql(i) for i in range(n_pos))
+    return (
+        _tok_prologue() + ", "
+        f"tf AS (SELECT doc_id, text, source, dl, {w_cols} FROM tf0_), "
+        f"st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tdl, "
+        f"{df_cols} FROM tf), "
+        f"s AS (SELECT doc_id, text, source, ({contribs})::BIGINT AS score, "
+        f"{match_expr} AS m FROM tf, st) "
+        'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+        "doc_id, 'doc://' || source || '/' || doc_id AS url, "
+        f"substring(text, 1, {TITLE_CHARS}) AS title, source AS domain, "
+        "'2025-06-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS crawl_date, "
+        f"score, substring(text, 1, {SNIPPET_CHARS}) AS snippet "
+        f"FROM s WHERE m ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"
+    )
+
+
+def _phrase_query_sql() -> str:
+    """Oracle for PHRASE_QUERY = '"customer join" OR window NOT title:data':
+    DNF = [phrase] OR [window AND NOT title:data]; positive leaves are the
+    bare phrase (w0 — field-weighted phrase frequency) and bare 'window'
+    (w1); 'title:data' (w2) is negation support only."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BOOST_TITLE,
+        _stem,
+    )
+
+    B = BOOST_TITLE
+    ph = [_stem("customer"), _stem("join")]
+    win, data = _stem("window"), _stem("data")
+    w_cols = (
+        f"({B}*{_phrase_occ_sql('wt', ph)} + {_phrase_occ_sql('wc', ph)})::BIGINT AS w0, "
+        f"({B}*len(list_filter(wt, x -> x = '{win}')) + "
+        f"len(list_filter(wc, x -> x = '{win}')))::BIGINT AS w1, "
+        f"({B}*len(list_filter(wt, x -> x = '{data}')))::BIGINT AS w2"
+    )
+    return _search_result_sql(w_cols, 2, "(w0 > 0 OR (w1 > 0 AND w2 = 0))")
+
+
+def _nested_query_sql() -> str:
+    """Oracle for NESTED_QUERY = '(title:customer OR content:join) AND
+    window NOT (data OR "stream sort")': DNF distributes to
+    (w0>0 OR w1>0) AND w2>0 AND w3=0 AND w4=0 with positive leaves
+    title:customer (w0), content:join (w1), bare window (w2); negation
+    support bare 'data' (w3) and the bare phrase "stream sort" (w4)."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BOOST_TITLE,
+        _stem,
+    )
+
+    B = BOOST_TITLE
+    cust, join_, win, data = (
+        _stem("customer"),
+        _stem("join"),
+        _stem("window"),
+        _stem("data"),
+    )
+    ph = [_stem("stream"), _stem("sort")]
+    w_cols = (
+        f"({B}*len(list_filter(wt, x -> x = '{cust}')))::BIGINT AS w0, "
+        f"(len(list_filter(wc, x -> x = '{join_}')))::BIGINT AS w1, "
+        f"({B}*len(list_filter(wt, x -> x = '{win}')) + "
+        f"len(list_filter(wc, x -> x = '{win}')))::BIGINT AS w2, "
+        f"({B}*len(list_filter(wt, x -> x = '{data}')) + "
+        f"len(list_filter(wc, x -> x = '{data}')))::BIGINT AS w3, "
+        f"({B}*{_phrase_occ_sql('wt', ph)} + {_phrase_occ_sql('wc', ph)})::BIGINT AS w4"
+    )
+    return _search_result_sql(
+        w_cols, 3, "((w0 > 0 OR w1 > 0) AND w2 > 0 AND w3 = 0 AND w4 = 0)"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: full crawl of the t1 synthetic web (seeds ->
     schedule -> fetch -> dedup -> decode), returning the image+caption
@@ -199,6 +332,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stand-in (field prefixes, AND/OR/NOT) + field-restricted BM25F,
         # answered from the persisted stemmed index
         "search_field_query": search_index.search_field_query,
+        # quoted-phrase query: positional-postings adjacency match + phrase-
+        # frequency BM25F (Whoosh MultifieldParser accepts phrases by
+        # default, indexer/indexer_node.py:170-178)
+        "search_phrase_query": search_index.search_phrase_query,
+        # nested boolean groups: parens distribute to DNF, NOT-group De
+        # Morgans, phrase inside the negation (Whoosh grammar parity)
+        "search_nested_query": search_index.search_nested_query,
         # Whoosh highlights(top=2) contract: best-2 term-window fragments
         # with <b> marks (indexer_node.py:166-171).  No SQL oracle — the
         # greedy fragment-selection loop is not SQL-expressible; the
@@ -364,6 +504,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_topk_bm25f": _bm25f_sql(),
         "search_field_query": _field_query_sql(),
+        "search_phrase_query": _phrase_query_sql(),
+        "search_nested_query": _nested_query_sql(),
         # a fresh build-from-documents index has exactly one generation;
         # document_count is the reference's searcher.doc_count()
         "search_index_stats": (

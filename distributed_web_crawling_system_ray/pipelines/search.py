@@ -279,6 +279,15 @@ QUERY_TERMS = ("customer", "join", "window")  # the pinned benchmark query
 # the pinned field-query benchmark: exercises field restriction, AND/OR
 # grouping, and NOT exclusion through parse_query + SearchIndex.search
 FIELD_QUERY = "title:customer AND content:join OR window NOT title:data"
+# the pinned PHRASE-query benchmark: a quoted phrase (positional-postings
+# adjacency match; Whoosh's MultifieldParser accepts quoted phrases by
+# default, indexer/indexer_node.py:170-178) mixed with boolean/field leaves
+PHRASE_QUERY = '"customer join" OR window NOT title:data'
+# the pinned NESTED-boolean benchmark: parenthesized OR-group distributed
+# over AND, plus a De Morgan'd NOT-group containing a phrase
+NESTED_QUERY = (
+    '(title:customer OR content:join) AND window NOT (data OR "stream sort")'
+)
 TOP_K = 20
 IDF_SCALE = 1000
 SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)

@@ -1684,6 +1684,36 @@ def search_field_query(sf_dir: str) -> pa.Table:
     return index_for(sf_dir, stem=True).search(FIELD_QUERY, k=BM25_TOP_K)
 
 
+def search_phrase_query(sf_dir: str) -> pa.Table:
+    """The pinned phrase query through the full user-facing search path —
+    quoted-phrase adjacency verified against the positional postings
+    (Whoosh PhraseQuery semantics: the reference feeds the raw user string
+    to MultifieldParser, which accepts quoted phrases by default,
+    indexer/indexer_node.py:170-178) — answered from the persisted stemmed
+    index and hash-checked against a DuckDB oracle replicating the same
+    match + phrase-frequency BM25F scoring over tokenized text windows."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        PHRASE_QUERY,
+    )
+
+    return index_for(sf_dir, stem=True).search(PHRASE_QUERY, k=BM25_TOP_K)
+
+
+def search_nested_query(sf_dir: str) -> pa.Table:
+    """The pinned nested-boolean query: parenthesized groups distribute
+    into DNF, a NOT-group De Morgans, and a phrase rides inside the
+    negation — Whoosh grammar parity for ``(a OR b) AND c NOT (d OR "e f")``
+    (indexer/indexer_node.py:170).  Answered from the persisted stemmed
+    index, hash-checked against the equivalent DuckDB DNF."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        NESTED_QUERY,
+    )
+
+    return index_for(sf_dir, stem=True).search(NESTED_QUERY, k=BM25_TOP_K)
+
+
 def search_index_stats(sf_dir: str) -> pa.Table:
     """Index statistics as a one-row table — the reference's
     ``document_count`` + index-size status surface
