@@ -47,10 +47,16 @@ import json
 import sys
 
 
-def _ensure_ray(num_cpus: int | None) -> None:
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Init Ray iff no session exists; returns whether this CLI owns it.
+
+    A pre-existing session (pytest fixture, embedding application) is reused
+    and NOT shut down on exit — only a session this entry point created is.
+    """
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = dict(
             address="local", include_dashboard=False, logging_level="ERROR"
         )
@@ -60,6 +66,7 @@ def _ensure_ray(num_cpus: int | None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -118,8 +125,17 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
-    _ensure_ray(getattr(args, "num_cpus", None))
+    owned = _ensure_ray(getattr(args, "num_cpus", None))
+    try:
+        return _dispatch(args)
+    finally:
+        if owned:
+            import ray
 
+            ray.shutdown()
+
+
+def _dispatch(args: argparse.Namespace) -> int:
     if args.cmd == "index":
         import os
 
@@ -144,9 +160,6 @@ def main(argv: list[str] | None = None) -> int:
         stats["live_docs"] = idx.meta["live_docs"]
         stats["generations"] = len(idx.meta["generations"])
         print(json.dumps(stats))
-        import ray
-
-        ray.shutdown()
         return 0
     if args.cmd == "search":
         from distributed_web_crawling_system_ray.pipelines.search import tokenize
@@ -155,17 +168,11 @@ def main(argv: list[str] | None = None) -> int:
         idx = SearchIndex.open(args.index_dir)
         if args.mode == "stats":
             print(json.dumps({"result": idx.stats()}))
-            import ray
-
-            ray.shutdown()
             return 0
         if args.mode == "query":
             # the full query-string path parses the raw string itself
             out = idx.search(args.query, args.k).to_pylist()
             print(json.dumps({"query": args.query, "result": out}))
-            import ray
-
-            ray.shutdown()
             return 0
         # raw v1 tokens; the index stems them itself iff it was built stemmed
         terms = tokenize(args.query)
@@ -178,9 +185,6 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = idx.query_df(terms)
         print(json.dumps({"terms": idx._prep_terms(terms), "result": out}))
-        import ray
-
-        ray.shutdown()
         return 0
 
     from distributed_web_crawling_system_ray.config import CrawlConfig
@@ -214,9 +218,6 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         print(json.dumps(bulk_fetch_decode(fixture, CrawlConfig(), args.out_dir)))
-    import ray
-
-    ray.shutdown()
     return 0
 
 
