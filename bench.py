@@ -24,8 +24,65 @@ import sys
 import time
 
 
+# Host-health thresholds, calibrated on this VM in a quiet window (round 5):
+# single-thread 1024^2 float64 matmul best-of-3 reads 0.13-0.21 s/iter and
+# zlib inflate of 32 MB compressible data reads ~0.5 GB/s.  Round 4's
+# degradation waves moved the matmul probe 1.3-1.7 s/iter at an unchanged
+# zlib rate (FP/memory-bandwidth penalty, not uniform slowdown) — so the
+# matmul reading is the discriminator and zlib is the control.
+HEALTHY_MATMUL_S = 0.30
+HEALTHY_ZLIB_GBS = 0.35
+
+
+def host_health_probe() -> dict:
+    """Self-annotating host probe (r4 verdict item 1): every bench JSON
+    carries its own degradation evidence instead of prose adjudication."""
+    import zlib
+
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    matmul_s = min(
+        _timed(lambda: a @ a) for _ in range(3)
+    )
+    block = np.random.default_rng(1).integers(0, 256, 4096, dtype=np.uint8)
+    raw = block.tobytes() * ((1 << 25) // 4096)
+    comp = zlib.compress(raw, 1)
+    zlib_s = min(_timed(lambda: zlib.decompress(comp)) for _ in range(2))
+    gbs = len(raw) / zlib_s / 1e9
+    # aggregate FP/memory bandwidth: 16 threads x one 1024^2 matmul (BLAS
+    # releases the GIL); the round-4 degradation shape hurt WIDE jobs while
+    # the single-core probe stayed clean, so record the parallel speedup
+    # too (reported, not gating — no healthy-band calibration exists yet;
+    # this session's quiet reading is ~6.5x at 16 threads on 32 vcpus)
+    import threading
+
+    mats = [np.random.default_rng(i).random((1024, 1024)) for i in range(16)]
+    ts = [threading.Thread(target=(lambda m: m @ m), args=(m,)) for m in mats]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    par_wall = time.perf_counter() - t0
+    return {
+        "matmul_s": round(matmul_s, 4),
+        "zlib_inflate_gbs": round(gbs, 2),
+        "par16_matmul_speedup": round(16 * matmul_s / par_wall, 1),
+        "healthy": bool(matmul_s <= HEALTHY_MATMUL_S and gbs >= HEALTHY_ZLIB_GBS),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def run_bench(num_cpus: int) -> dict:
     import ray
+
+    health_pre = host_health_probe()
 
     ray.init(
         address="local",
@@ -97,6 +154,7 @@ def run_bench(num_cpus: int) -> dict:
             sustained = r
     shutil.rmtree(sustained_dir, ignore_errors=True)
     if sustained_only:
+        health_post = host_health_probe()
         out = {
             "metric": "sustained_fetch_decode",
             "value": sustained["wall_s"],
@@ -105,6 +163,11 @@ def run_bench(num_cpus: int) -> dict:
             "sf": 0.1,
             "num_cpus": num_cpus,
             "sustained": sustained,
+            "host_health": {
+                "pre": health_pre,
+                "post": health_post,
+                "healthy": health_pre["healthy"] and health_post["healthy"],
+            },
         }
         ray.shutdown()
         return out
@@ -188,6 +251,12 @@ def run_bench(num_cpus: int) -> dict:
         },
         "sustained": sustained,
     }
+    health_post = host_health_probe()
+    out["host_health"] = {
+        "pre": health_pre,
+        "post": health_post,
+        "healthy": health_pre["healthy"] and health_post["healthy"],
+    }
     ray.shutdown()
     return out
 
@@ -252,6 +321,17 @@ def main() -> None:
                         r_hi["sustained"]["rows_per_s"],
                     ],
                     "scaling_efficiency": round(eff, 3),
+                    # automatic claim gate (r4 verdict item 1): an efficiency
+                    # reading counts only if BOTH chosen levels ran on a
+                    # healthy host (pre+post probes within calibrated bands)
+                    "host_health": [
+                        r_lo.get("host_health"),
+                        r_hi.get("host_health"),
+                    ],
+                    "claimable": bool(
+                        r_lo.get("host_health", {}).get("healthy")
+                        and r_hi.get("host_health", {}).get("healthy")
+                    ),
                 }
             )
         )
