@@ -902,6 +902,91 @@ def _ordered_id_pairs(ids: np.ndarray, ii: np.ndarray, jj: np.ndarray):
     return np.where(swap, b, a), np.where(swap, a, b)
 
 
+def _keyed_hamming_id_pairs(
+    keys: np.ndarray, sigs: np.ndarray, ids: np.ndarray, max_ham: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (min_id, max_id) pairs sharing a blocking key with signature
+    Hamming distance <= ``max_ham`` — the whole-band verify kernel.
+
+    One map_groups call per BAND processes every key bucket of that band
+    vectorized (a per-(band,key) map_groups spawns a Python call per tiny
+    bucket — millions at 10x scale, measured as the r5 sf1 hot spot):
+    rows lexsort by (key, sig); identical (key, sig) runs collapse to one
+    unique row each (hot-bucket defense, exact); distinct-sig candidates
+    within a key emerge from a d-distance sweep over the unique rows
+    (``ukey[t] == ukey[t+d]``), each sweep a single vectorized XOR +
+    popcount-lookup pass.  The sweep depth is the largest per-key unique-sig
+    count — the same O(sum u_k^2) work as per-bucket all-pairs, without the
+    per-bucket call overhead."""
+    empty = (np.zeros(0, dtype=ids.dtype), np.zeros(0, dtype=ids.dtype))
+    n = len(keys)
+    if n < 2:
+        return empty
+    sig_i64 = sigs.view(np.int64)
+    order = np.lexsort((sig_i64, keys))
+    k_s, s_s, id_s = keys[order], sigs[order], ids[order]
+    chg = (
+        np.flatnonzero(
+            (np.diff(k_s) != 0) | (np.diff(s_s.view(np.int64)) != 0)
+        )
+        + 1
+    )
+    ustart = np.concatenate([[0], chg]).astype(np.int64)
+    uend = np.concatenate([chg, [n]]).astype(np.int64)
+    ukey, usig, usize = k_s[ustart], s_s[ustart], uend - ustart
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    # (1) identical-sig clusters: Hamming 0, all member pairs qualify
+    for g in np.flatnonzero(usize > 1):
+        m = id_s[ustart[g] : uend[g]]
+        ii, jj = np.triu_indices(len(m), k=1)
+        a, b = _ordered_id_pairs(m, ii, jj)
+        a_out.append(a)
+        b_out.append(b)
+    # (2) distinct-sig pairs within a key: d-distance sweep over unique rows
+    u = len(ukey)
+    if u > 1:
+        kchg = np.flatnonzero(np.diff(ukey) != 0) + 1
+        rlen = np.diff(np.concatenate([[0], kchg, [u]]))
+        for d in range(1, int(rlen.max())):
+            idx = np.flatnonzero(ukey[:-d] == ukey[d:])
+            if len(idx) == 0:
+                continue
+            xor = usig[idx] ^ usig[idx + d]
+            ham = _POPCNT8[xor.view(np.uint8).reshape(len(idx), 8)].sum(
+                axis=1, dtype=np.uint8
+            )
+            ok = idx[ham <= max_ham]
+            if len(ok) == 0:
+                continue
+            oj = ok + d
+            simple = (usize[ok] == 1) & (usize[oj] == 1)
+            if simple.any():
+                a, b = _ordered_id_pairs_direct(
+                    id_s[ustart[ok[simple]]], id_s[ustart[oj[simple]]]
+                )
+                a_out.append(a)
+                b_out.append(b)
+            for g, h in zip(ok[~simple], oj[~simple]):
+                mi, mj = id_s[ustart[g] : uend[g]], id_s[ustart[h] : uend[h]]
+                a, b = _ordered_id_pairs_direct(
+                    np.repeat(mi, len(mj)), np.tile(mj, len(mi))
+                )
+                a_out.append(a)
+                b_out.append(b)
+    if not a_out:
+        return empty
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _ordered_id_pairs_direct(a: np.ndarray, b: np.ndarray):
+    """(min, max) ordering for already-paired id arrays, dropping self-pairs."""
+    keep = a != b
+    a, b = a[keep], b[keep]
+    swap = a > b
+    return np.where(swap, b, a), np.where(swap, a, b)
+
+
 def _h64_md5(s: str) -> int:
     """md5 high-64 token hash for SimHash — chosen over blake2b so the
     WHOLE simhash computation is DuckDB-expressible (md5 + hex-literal
@@ -1608,6 +1693,11 @@ _PHASH_BANDS = 8  # 8 x 8-bit bands: exhaustive for Hamming <= 7 (pigeonhole)
 
 
 def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
+    # an sf_dir carrying its own images table (e.g. the synthesized sf1
+    # scale-evidence fixture) wins over the crawl-fixture mapping
+    direct = os.path.join(sf_dir, "images.parquet")
+    if os.path.exists(direct):
+        return _read_pq(direct, columns=list(columns))
     from distributed_web_crawling_system_ray.api import scale_for
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
 
@@ -1617,37 +1707,56 @@ def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
     )
 
 
+# precomputed C(8,2)=28 band-pair combinations for the phash blocking key
+_PHASH_PAIR_I, _PHASH_PAIR_J = map(
+    np.array,
+    zip(*[(i, j) for i in range(_PHASH_BANDS) for j in range(i + 1, _PHASH_BANDS)]),
+)
+
+
 def image_phash_near_dup(sf_dir: str) -> pa.Table:
-    """Image near-dup pairs: 64-bit phash banding (8 x 8-bit keys) ->
-    bucket groupby -> exact popcount verify (Hamming <= 6).  Same shape as
-    the SimHash text path; the SQL oracle brute-forces xor/bit_count."""
+    """Image near-dup pairs: 64-bit phash BAND-PAIR banding -> bucket
+    groupby -> exact popcount verify (Hamming <= 6).
+
+    Blocking is pigeonhole-exact on band PAIRS: with 8 x 8-bit bands and
+    <= 6 differing bits, at least TWO bands are untouched, so every
+    qualifying pair shares one of the C(8,2)=28 concatenated 16-bit
+    two-band keys.  Single-band 8-bit keys (rounds 2-4) collide at rate
+    n/256 per bucket, turning the exact verify quadratic at 10x bench
+    scale (228s of CPU at 250k images, measured); 16-bit pair keys cut
+    bucket occupancy 256x for a 3.5x fan-out — the same pigeonhole
+    upgrade the SimHash text path uses, one level deeper.  The SQL oracle
+    brute-forces xor/bit_count; output is unchanged."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
         ph = np.asarray(batch.column("phash").to_pylist(), dtype=np.int64).view(
             np.uint64
         )
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, s in enumerate(ph):
-            for b in range(_PHASH_BANDS):
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_key.append(int((s >> np.uint64(8 * b)) & np.uint64(0xFF)))
-                out_sig.append(int(s))
+        n = len(ph)
+        n_combos = len(_PHASH_PAIR_I)
+        # (n, 8) per-band byte matrix -> (n, 28) two-band key matrix, raveled
+        shifts = (8 * np.arange(_PHASH_BANDS, dtype=np.uint64))[None, :]
+        bytes_ = ((ph[:, None] >> shifts) & np.uint64(0xFF)).astype(np.int32)
+        keys = bytes_[:, _PHASH_PAIR_I] | (bytes_[:, _PHASH_PAIR_J] << 8)
+        take = pa.array(
+            np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_combos)
+        )
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int16()),
-                "key": pa.array(out_key, pa.int32()),
-                "image_id": pa.array(out_id, pa.string()),
-                "sig": pa.array(np.asarray(out_sig, dtype=np.uint64), pa.uint64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_combos, dtype=np.int16), n)
+                ),
+                "key": pa.array(keys.ravel(), pa.int32()),
+                "image_id": batch.column("image_id").take(take),
+                "sig": pa.array(np.repeat(ph, n_combos), pa.uint64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("image_id").to_pylist())
         sg = group.column("sig").to_numpy(zero_copy_only=False)
-        ii, jj = _hamming_index_pairs(sg, PHASH_HAMMING_MAX)
-        a, b = _ordered_id_pairs(ids, ii, jj)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        a, b = _keyed_hamming_id_pairs(keys, sg, ids, PHASH_HAMMING_MAX)
         return pa.table(
             {"a": pa.array(a.tolist(), pa.string()), "b": pa.array(b.tolist(), pa.string())}
         )
@@ -1655,7 +1764,7 @@ def image_phash_near_dup(sf_dir: str) -> pa.Table:
     cand = (
         _images_ds(sf_dir, ("image_id", "phash"))
         .map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("band")
         .map_groups(pairs, batch_format="pyarrow")
     )
     out = _to_table(cand)

@@ -212,3 +212,49 @@ def test_video_sampling_as_ray_stage():
     assert sorted(out["video_id"].unique()) == ["v0", "v1", "v2", "v3"]
     assert set(out["frame_idx"]) == {0, 5}
     assert len(out) == 8
+
+
+def test_keyed_hamming_kernel_matches_bruteforce():
+    """_keyed_hamming_id_pairs (the whole-band phash verify kernel) against
+    an O(n^2) popcount brute force, on a corpus dense enough to exercise
+    identical-sig clusters, cross-sig candidates, and singleton buckets —
+    and the full band-pair blocking must be pigeonhole-exact for Hamming<=6."""
+    import numpy as np
+
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        PHASH_HAMMING_MAX,
+        _PHASH_PAIR_I,
+        _PHASH_PAIR_J,
+        _keyed_hamming_id_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 600
+    # narrow sig space + planted flips + exact copies = dense collisions
+    base = rng.integers(0, 2**20, size=n, dtype=np.uint64)
+    for i in range(0, 200, 2):  # near pairs
+        flips = rng.integers(0, 64, size=int(rng.integers(1, 7)))
+        base[i + 1] = base[i]
+        for b in flips:
+            base[i + 1] ^= np.uint64(1 << int(b))
+    base[200:230] = base[0]  # one hot identical cluster
+    ids = np.array([f"id{i:04d}" for i in range(n)])
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if ham(base[i], base[j]) <= PHASH_HAMMING_MAX:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+
+    shifts = (8 * np.arange(8, dtype=np.uint64))[None, :]
+    bytes_ = ((base[:, None] >> shifts) & np.uint64(0xFF)).astype(np.int32)
+    got = set()
+    for c in range(len(_PHASH_PAIR_I)):
+        keys = bytes_[:, _PHASH_PAIR_I[c]] | (bytes_[:, _PHASH_PAIR_J[c]] << 8)
+        a, b = _keyed_hamming_id_pairs(keys, base, ids, PHASH_HAMMING_MAX)
+        got.update(zip(a.tolist(), b.tolist()))
+    assert got == want
+    assert len(want) > 500  # dense: clusters + near pairs both present
