@@ -233,6 +233,42 @@ def run_bench(num_cpus: int) -> dict:
     queries["search_topk_indexed"] = round(time.time() - t0, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # ---- 10x scale-evidence section (r4 verdict items 5-6) ----
+    # the three heaviest dataops + index-at-depth search latency over the
+    # synthesized sf1 fixture (10x the bench scale), with driver RSS —
+    # measured evidence for the 100x design claims, not design reads
+    import resource
+
+    from distributed_web_crawling_system_ray.sources.scaleup import build_sf1
+
+    sf1_dir = build_sf1()
+    sf1: dict[str, float] = {}
+    t0 = time.time()
+    n_pairs_sf1 = dataops.doc_near_dup_pairs(sf1_dir, driver_pair_limit=0).num_rows
+    sf1["doc_near_dup_pairs_distributed"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dataops.ann_topk_ivf(sf1_dir)
+    sf1["ann_topk_ivf"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_phash_sf1 = dataops.image_phash_near_dup(sf1_dir).num_rows
+    sf1["image_phash_near_dup"] = round(time.time() - t0, 3)
+    sf1_idx_dir = f"/tmp/graft_bench_sf1_index_{num_cpus}"
+    shutil.rmtree(sf1_idx_dir, ignore_errors=True)
+    t0 = time.time()
+    sf1_idx = SearchIndex.create(sf1_idx_dir)
+    sf1_idx.update(os.path.join(sf1_dir, "documents.parquet"))
+    sf1["search_index_build_50k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sf1_idx.topk_bm25f(list(QUERY_TERMS), TOP_K)
+    # reference bar: sub-second search to ~1M docs — measured at 10x depth
+    sf1["search_topk_bm25f_indexed_50k"] = round(time.time() - t0, 3)
+    shutil.rmtree(sf1_idx_dir, ignore_errors=True)
+    sf1["pairs_found"] = n_pairs_sf1
+    sf1["phash_pairs_found"] = n_phash_sf1
+    sf1["driver_peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
+
     out = {
         "metric": "bench_total",
         "value": round(sum(queries.values()), 3),
@@ -250,6 +286,7 @@ def run_bench(num_cpus: int) -> dict:
             "payload_mb": round(payload_bytes / 1e6, 1),
         },
         "sustained": sustained,
+        "sf1": sf1,
     }
     health_post = host_health_probe()
     out["host_health"] = {
