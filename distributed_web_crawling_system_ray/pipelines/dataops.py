@@ -374,20 +374,36 @@ def doc_minhash_bands(sf_dir: str) -> "ray.data.Dataset":
 def _lsh_candidate_ds(sf_dir: str) -> "ray.data.Dataset":
     """Raw candidate pairs (a < b) per LSH bucket — duplicated across bands
     (the cross-band dedup is the caller's, path-dependent).  Materialized so
-    the threshold count and the downstream consumer share one execution."""
+    the threshold count and the downstream consumer share one execution.
+
+    One map_groups call per BAND: a per-(band, hash) map_groups spawns a
+    Python call per bucket — ~#docs x #bands mostly-singleton buckets, the
+    dominant cost at 10x bench scale (r5 sf1 profile).  Within a band the
+    buckets are runs of a vectorized sort by band_hash; only multi-member
+    runs (actual candidates) reach Python."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh))
+        bh_s, id_s = bh[order], ids[order]
+        chg = np.flatnonzero(bh_s[1:] != bh_s[:-1]) + 1
+        starts = np.concatenate([[0], chg])
+        ends = np.concatenate([chg, [len(bh_s)]])
+        sizes = ends - starts
+        a_out, b_out = [], []
+        for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
+            m = id_s[s:e]  # ascending (lexsort secondary key)
+            ii, jj = np.triu_indices(len(m), k=1)
+            a_out.append(m[ii])
+            b_out.append(m[jj])
+        a = np.concatenate(a_out) if a_out else np.zeros(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.zeros(0, np.int64)
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     return (
         doc_minhash_bands(sf_dir)
-        .groupby(["band_id", "band_hash"])
+        .groupby("band_id")
         .map_groups(pairs, batch_format="pyarrow")
         .materialize()
     )
