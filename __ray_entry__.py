@@ -274,6 +274,88 @@ def _nested_query_sql() -> str:
     )
 
 
+def _wildcard_query_sql() -> str:
+    """Oracle for WILDCARD_QUERY = 'cust* AND title:s?rt NOT wind*'.
+
+    The expansion domain is data-derived exactly like the index's
+    vocabulary sidecar: DISTINCT stemmed tokens over title+content (the
+    title stream includes the same truncation-partial tokens the index
+    stores).  Each pattern expands with LIKE ('*' -> '%', '?' -> '_');
+    a doc matches when some cust*-term hits (either field) AND some
+    s?rt-term hits the title AND no wind*-term hits; the score sums the
+    per-expanded-term integer BM25F contributions (leaves 1 and 2 — the
+    NOT leaf never scores), mirroring SearchIndex.search's expanded-leaf
+    scoring."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        BOOST_TITLE,
+        IDF_SCALE,
+        SNIPPET_CHARS,
+        TITLE_CHARS,
+    )
+
+    B = BOOST_TITLE
+
+    def w_expr(field: str | None) -> str:
+        t = f"{B}*len(list_filter(f.wt, x -> x = v.term))"
+        c = "len(list_filter(f.wc, x -> x = v.term))"
+        if field == "title":
+            return f"({t})::BIGINT"
+        if field == "content":
+            return f"({c})::BIGINT"
+        return f"({t} + {c})::BIGINT"
+
+    def exploded(i: int, like: str, field: str | None) -> str:
+        return (
+            f"w{i} AS (SELECT f.doc_id, v.term, {w_expr(field)} AS w "
+            f"FROM tf0_ f CROSS JOIN "
+            f"(SELECT term FROM vocab WHERE term LIKE '{like}') v)"
+        )
+
+    def scored(i: int) -> str:
+        # per-doc sum of the expanded terms' integer BM25F contributions +
+        # a hit flag; contribution formula identical to _contrib_sql but
+        # with per-term df from the exploded table
+        return (
+            f"df{i} AS (SELECT term, sum(CASE WHEN w > 0 THEN 1 ELSE 0 END)::BIGINT "
+            f"AS df FROM w{i} GROUP BY term), "
+            f"s{i} AS (SELECT w.doc_id, "
+            f"sum(CASE WHEN (10*st.tdl*w.w + 3*st.tdl + 9*f.dl*st.nd) > 0 "
+            f"AND d.df > 0 THEN "
+            f"(((st.nd*{IDF_SCALE})//d.df) * 22 * w.w * st.tdl) // "
+            f"(10*st.tdl*w.w + 3*st.tdl + 9*f.dl*st.nd) ELSE 0 END)::BIGINT AS s, "
+            f"max(CASE WHEN w.w > 0 THEN 1 ELSE 0 END) AS hit "
+            f"FROM w{i} w JOIN df{i} d USING (term) "
+            f"JOIN tf0_ f ON f.doc_id = w.doc_id, st GROUP BY w.doc_id)"
+        )
+
+    return (
+        _tok_prologue() + ", "
+        "vocab AS (SELECT DISTINCT unnest(list_concat(wt, wc)) AS term FROM tf0_), "
+        "st AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tdl FROM tf0_), "
+        + exploded(1, "cust%", None) + ", "
+        + exploded(2, "s_rt", "title") + ", "
+        + exploded(3, "wind%", None) + ", "
+        + scored(1) + ", "
+        + scored(2) + ", "
+        "h3 AS (SELECT doc_id, max(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS hit "
+        "FROM w3 GROUP BY doc_id), "
+        "s AS (SELECT f.doc_id, f.text, f.source, "
+        "(coalesce(s1.s, 0) + coalesce(s2.s, 0))::BIGINT AS score, "
+        "(coalesce(s1.hit, 0) > 0 AND coalesce(s2.hit, 0) > 0 "
+        "AND coalesce(h3.hit, 0) = 0) AS m "
+        "FROM tf0_ f LEFT JOIN s1 ON s1.doc_id = f.doc_id "
+        "LEFT JOIN s2 ON s2.doc_id = f.doc_id "
+        "LEFT JOIN h3 ON h3.doc_id = f.doc_id) "
+        'SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS "rank", '
+        "doc_id, 'doc://' || source || '/' || doc_id AS url, "
+        f"substring(text, 1, {TITLE_CHARS}) AS title, source AS domain, "
+        "'2025-06-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS crawl_date, "
+        f"score, substring(text, 1, {SNIPPET_CHARS}) AS snippet "
+        f"FROM s WHERE m ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: full crawl of the t1 synthetic web (seeds ->
     schedule -> fetch -> dedup -> decode), returning the image+caption
@@ -339,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nested boolean groups: parens distribute to DNF, NOT-group De
         # Morgans, phrase inside the negation (Whoosh grammar parity)
         "search_nested_query": search_index.search_nested_query,
+        # wildcard patterns (* / ?): vocabulary-sidecar expansion, expanded
+        # terms score individually (Whoosh WildcardPlugin, on by default)
+        "search_wildcard_query": search_index.search_wildcard_query,
         # Whoosh highlights(top=2) contract: best-2 term-window fragments
         # with <b> marks (indexer_node.py:166-171).  No SQL oracle — the
         # greedy fragment-selection loop is not SQL-expressible; the
@@ -506,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "search_field_query": _field_query_sql(),
         "search_phrase_query": _phrase_query_sql(),
         "search_nested_query": _nested_query_sql(),
+        "search_wildcard_query": _wildcard_query_sql(),
         # a fresh build-from-documents index has exactly one generation;
         # document_count is the reference's searcher.doc_count()
         "search_index_stats": (

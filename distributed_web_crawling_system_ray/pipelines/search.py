@@ -106,11 +106,27 @@ QUERY_FIELDS = ("title", "content")
 
 
 # one query leaf: (field, term, negated) — ``term`` is a single token
-# (str) or a PHRASE (tuple of tokens, matched by positional adjacency)
-QueryLeaf = tuple  # (str | None, str | tuple[str, ...], bool)
+# (str), a PHRASE (tuple of tokens, matched by positional adjacency), or a
+# WILDCARD pattern (Wildcard, expanded against the index vocabulary)
+QueryLeaf = tuple  # (str | None, str | tuple[str, ...] | Wildcard, bool)
+
+
+class Wildcard(str):
+    """A query-time wildcard pattern: ``*`` matches any run, ``?`` one
+    character (Whoosh's WildcardPlugin, on by default in the grammar the
+    reference feeds user queries to, indexer/indexer_node.py:170).  A str
+    subclass so patterns flow through leaf tuples / dedup sets unchanged;
+    expansion against the indexed vocabulary happens at query time and the
+    pattern is never stemmed (it matches the already-stemmed vocabulary)."""
+
+    __slots__ = ()
+
 
 # lexer: parens; optionally-field-prefixed quoted phrases; bare words
 _LEX = re.compile(r'\(|\)|(?:[A-Za-z0-9_]+:)?"[^"]*"|[^\s()"]+')
+
+# wildcard pattern body: lowercase token chars plus * and ?
+_WILD_CLEAN = re.compile(r"[^a-z0-9_*?]+")
 
 
 def _lex_query(query_str: str) -> list:
@@ -140,6 +156,10 @@ def _lex_query(query_str: str) -> list:
         if body.startswith('"') and body.endswith('"') and len(body) >= 2:
             toks = tuple(_TOKEN.findall(body[1:-1].lower()))
             out.append(("phrase", field, toks))
+        elif "*" in body or "?" in body:
+            pat = _WILD_CLEAN.sub("", body.lower())
+            if pat.strip("*?"):  # an all-wildcard token (bare '*') is noise
+                out.append(("wild", field, pat))
         else:
             out.append(("word", field, _TOKEN.findall(body.lower())))
     return out
@@ -204,6 +224,8 @@ def _parse_unary(toks: list, i: int):
     # word/phrase tokens remain
     i += 1
     kind, field, body = t
+    if kind == "wild":
+        return ("leaf", field, Wildcard(body), False), i
     if kind == "phrase":
         if not body:
             return None, i
@@ -253,6 +275,10 @@ def parse_query(query_str: str) -> list[list[QueryLeaf]]:
       negates each of its tokens in place (pinned pre-parens contract);
     - ``"quoted words"`` is a phrase leaf; ``title:"quoted words"``
       restricts it to one field; a one-token phrase degrades to a term;
+    - a word containing ``*`` / ``?`` is a WILDCARD leaf (Whoosh's
+      WildcardPlugin): the pattern is lowercased, kept verbatim (never
+      stemmed), and expanded against the index vocabulary at query time;
+      an all-wildcard token (bare ``*``) is dropped as noise;
     - ``field:word`` restricts a leaf to one recognized field —
       case-SENSITIVELY, like Whoosh field names (an unrecognized prefix
       such as ``TITLE:`` or ``xyz:`` stays part of the term text);
@@ -288,6 +314,9 @@ PHRASE_QUERY = '"customer join" OR window NOT title:data'
 NESTED_QUERY = (
     '(title:customer OR content:join) AND window NOT (data OR "stream sort")'
 )
+# the pinned WILDCARD benchmark: prefix expansion against the vocabulary
+# (cust* -> customer, ...), field-restricted single-char '?', NOT-exclusion
+WILDCARD_QUERY = "cust* AND title:s?rt NOT wind*"
 TOP_K = 20
 IDF_SCALE = 1000
 SNIPPET_CHARS = 200  # v3 fallback snippet length (indexer_node.py:166-171)

@@ -62,6 +62,7 @@ from distributed_web_crawling_system_ray.pipelines.search import (
     IDF_SCALE,
     SNIPPET_CHARS,
     TITLE_CHARS,
+    Wildcard,
 )
 
 
@@ -104,6 +105,7 @@ class SearchIndex:
         self.index_dir = index_dir
         self.meta = meta
         self._lg_cache: dict[int, int] | None = None  # supersede map cache
+        self._vocab_cache: np.ndarray | None = None  # sorted distinct terms
 
     # ------------------------------------------------------------ lifecycle
 
@@ -193,6 +195,7 @@ class SearchIndex:
             shutil.rmtree(gd)
         os.makedirs(os.path.join(gd, "postings"))
         os.makedirs(os.path.join(gd, "docs"))
+        os.makedirs(os.path.join(gd, "vocab"))
         n_parts = self.meta["n_parts"]
         n_dparts = self.meta["n_dparts"]
         stem = bool(self.meta.get("stem", False))
@@ -324,7 +327,7 @@ class SearchIndex:
                 }
             )
 
-        def _write_group(dir_name: str, name_prefix: str, key: str):
+        def _write_group(dir_name: str, name_prefix: str, key: str, vocab: bool = False):
             def write(group: pa.Table) -> pa.Table:
                 p = int(group.column(key)[0].as_py())
                 out = group.drop_columns([key]).append_column(
@@ -335,6 +338,14 @@ class SearchIndex:
                 _atomic_write_table(
                     out, os.path.join(gd, dir_name, f"{name_prefix}_{p:05d}.parquet")
                 )
+                if vocab:
+                    # vocabulary sidecar: this partition's distinct terms —
+                    # wildcard expansion reads these tiny files instead of
+                    # the postings' term column (vocab-sized, not index-sized)
+                    _atomic_write_table(
+                        pa.table({"term": pc.unique(group.column("term"))}),
+                        os.path.join(gd, "vocab", f"v_{p:05d}.parquet"),
+                    )
                 return pa.table({"n": pa.array([group.num_rows], pa.int64())})
 
             return write
@@ -342,7 +353,10 @@ class SearchIndex:
         (
             docs_mat.map_batches(explode, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(_write_group("postings", "part", "part"), batch_format="pyarrow")
+            .map_groups(
+                _write_group("postings", "part", "part", vocab=True),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
         (
@@ -395,6 +409,7 @@ class SearchIndex:
 
         # commit: meta lists the generation only after every file is final
         self._lg_cache = None
+        self._vocab_cache = None
         self.meta["generations"].append(
             {"gen": g, "n_docs": int(len(new_ids)), "n_superseded": int(len(overlap))}
         )
@@ -467,10 +482,15 @@ class SearchIndex:
     def _prep_terms(self, terms: list) -> list:
         """Query terms stem iff the index was built stemmed — both sides of
         the match transform identically, the Whoosh contract.  A PHRASE
-        (tuple of tokens) stems each constituent."""
+        (tuple of tokens) stems each constituent; a WILDCARD pattern never
+        stems — it expands against the (already-stemmed) vocabulary."""
         if self.meta.get("stem", False):
             return [
-                tuple(_stem(x) for x in t) if isinstance(t, tuple) else _stem(t)
+                t
+                if isinstance(t, Wildcard)
+                else tuple(_stem(x) for x in t)
+                if isinstance(t, tuple)
+                else _stem(t)
                 for t in terms
             ]
         return list(terms)
@@ -541,6 +561,7 @@ class SearchIndex:
             shutil.rmtree(gd)
         os.makedirs(os.path.join(gd, "postings"))
         os.makedirs(os.path.join(gd, "docs"))
+        os.makedirs(os.path.join(gd, "vocab"))
         n_parts = self.meta["n_parts"]
 
         def live_filter(batch: pa.Table) -> pa.Table:
@@ -581,6 +602,11 @@ class SearchIndex:
                     out,
                     os.path.join(gd, dir_name, f"{key_col}_{p:05d}.parquet"),
                 )
+                if dir_name == "postings":  # vocabulary sidecar survives merge
+                    _atomic_write_table(
+                        pa.table({"term": pc.unique(group.column("term"))}),
+                        os.path.join(gd, "vocab", f"v_{p:05d}.parquet"),
+                    )
                 return pa.table({"n": pa.array([group.num_rows], pa.int64())})
 
             (
@@ -628,6 +654,7 @@ class SearchIndex:
         )
         old_dirs = [self._gen_dir(g) for g in gens]
         self._lg_cache = None
+        self._vocab_cache = None
         self.meta["generations"] = [
             {"gen": new_g, "n_docs": int(len(all_ids)), "n_superseded": 0}
         ]
@@ -674,6 +701,54 @@ class SearchIndex:
                     if os.path.exists(f):
                         files.append(f)
         return files
+
+    def _vocabulary(self) -> np.ndarray:
+        """Sorted distinct indexed terms — the wildcard-expansion domain.
+
+        Reads the per-generation ``vocab/`` sidecars (distinct terms per
+        postings partition, written at index time — vocab-sized, never
+        index-sized).  A generation written by a pre-vocab format falls back
+        to the ``term`` column of its postings (column-pruned).  May include
+        terms of superseded docs — a harmless over-expansion: their postings
+        are live-filtered downstream, so they match nothing.  Cached per
+        handle; invalidated by update()/compact()."""
+        if self._vocab_cache is not None:
+            return self._vocab_cache
+        cols: list[np.ndarray] = []
+        for e in self.meta["generations"]:
+            gd = self._gen_dir(e["gen"])
+            vd = os.path.join(gd, "vocab")
+            src = (
+                [os.path.join(vd, f) for f in sorted(os.listdir(vd))]
+                if os.path.isdir(vd)
+                else [
+                    os.path.join(gd, "postings", f)
+                    for f in sorted(os.listdir(os.path.join(gd, "postings")))
+                ]
+            )
+            for f in src:
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(f, columns=["term"])
+                cols.append(
+                    np.asarray(t.column("term").to_pylist(), dtype=object)
+                )
+        vocab = (
+            np.unique(np.concatenate(cols))
+            if cols
+            else np.zeros(0, dtype=object)
+        )
+        self._vocab_cache = vocab
+        return vocab
+
+    def _expand_wildcard(self, pattern: str) -> list[str]:
+        """Indexed terms matching a ``*``/``?`` pattern (Whoosh wildcard
+        semantics: case-normalized, matched against the vocabulary)."""
+        import fnmatch
+        import re as _re
+
+        rx = _re.compile(fnmatch.translate(pattern))
+        return [t for t in self._vocabulary() if rx.match(t)]
 
     def _pruned_postings(
         self,
@@ -1187,13 +1262,22 @@ class SearchIndex:
                 "phrase query needs positional postings — this index was "
                 "built by a pre-positions format; rebuild it"
             )
+        # wildcard leaves expand against the vocabulary sidecar ONCE; the
+        # expanded terms then ride the ordinary pruned-postings path
+        wmap = {
+            t: self._expand_wildcard(t)
+            for grp in groups
+            for _, t, _ in grp
+            if isinstance(t, Wildcard)
+        }
+
+        def _leaf_terms(t):
+            if isinstance(t, Wildcard):
+                return wmap[t]
+            return t if isinstance(t, tuple) else (t,)
+
         all_terms = sorted(
-            {
-                x
-                for grp in groups
-                for _, t, _ in grp
-                for x in (t if isinstance(t, tuple) else (t,))
-            }
+            {x for grp in groups for _, t, _ in grp for x in _leaf_terms(t)}
         )
         n = int(self.meta["live_docs"])
         total_dl = int(self.meta.get("total_dl", 0))
@@ -1310,7 +1394,26 @@ class SearchIndex:
             phrase_cache[key] = res
             return res
 
+        wild_cache: dict = {}
+
+        def wild_support(field: str | None, pattern: Wildcard):
+            """Union of matching ids over the pattern's expanded terms —
+            match/negation only; scoring expands to concrete term leaves."""
+            key = (field, str(pattern))
+            if key in wild_cache:
+                return wild_cache[key]
+            acc: np.ndarray | None = None
+            for term in wmap[pattern]:
+                s = term_support(field, term)[0]
+                acc = s if acc is None else np.union1d(acc, s)
+            ids = acc if acc is not None else np.zeros(0, dtype=np.int64)
+            res = (ids, np.zeros(0, np.int64), np.zeros(0, np.int64))
+            wild_cache[key] = res
+            return res
+
         def leaf_support(field: str | None, t):
+            if isinstance(t, Wildcard):
+                return wild_support(field, t)
             return (
                 phrase_support(field, t)
                 if isinstance(t, tuple)
@@ -1332,9 +1435,21 @@ class SearchIndex:
                 match = gm if match is None else np.union1d(match, gm)
         match = match if match is not None else np.zeros(0, dtype=np.int64)
 
-        # score the matches: distinct positive leaves, field-restricted tf_w
+        # score the matches: distinct positive leaves, field-restricted tf_w;
+        # a wildcard leaf scores as its expanded terms (Whoosh: a multi-term
+        # query sums each matched term's contribution), deduped against any
+        # explicitly-queried identical term
+        leaf_set: set = set()
+        for grp in groups:
+            for f, t, neg in grp:
+                if neg:
+                    continue
+                if isinstance(t, Wildcard):
+                    leaf_set.update((f, str(x)) for x in wmap[t])
+                else:
+                    leaf_set.add((f, t))
         leaves = sorted(
-            {(f, t) for grp in groups for f, t, neg in grp if not neg},
+            leaf_set,
             key=lambda x: (x[0] or "", x[1] if isinstance(x[1], str) else " ".join(x[1])),
         )
         scores: dict[int, int] = {int(d): 0 for d in match}
@@ -1712,6 +1827,21 @@ def search_nested_query(sf_dir: str) -> pa.Table:
     )
 
     return index_for(sf_dir, stem=True).search(NESTED_QUERY, k=BM25_TOP_K)
+
+
+def search_wildcard_query(sf_dir: str) -> pa.Table:
+    """The pinned wildcard query: ``*``/``?`` patterns expand against the
+    index's vocabulary sidecar and score as their expanded terms (Whoosh
+    WildcardPlugin semantics — on by default in the grammar the reference
+    feeds user queries to, indexer/indexer_node.py:170).  Answered from the
+    persisted stemmed index, hash-checked against a DuckDB oracle that
+    derives the same vocabulary from the documents and expands with LIKE."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        BM25_TOP_K,
+        WILDCARD_QUERY,
+    )
+
+    return index_for(sf_dir, stem=True).search(WILDCARD_QUERY, k=BM25_TOP_K)
 
 
 def search_index_stats(sf_dir: str) -> pa.Table:

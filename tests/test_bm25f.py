@@ -23,6 +23,7 @@ from distributed_web_crawling_system_ray.pipelines.search import (
     IDF_SCALE,
     TITLE_CHARS,
     _TOKEN,
+    Wildcard,
     bm25f_contribution,
     parse_query,
 )
@@ -123,6 +124,26 @@ def test_parse_query_phrases():
     assert parse_query('a NOT "b c"') == [
         [(None, "a", False), (None, ("b", "c"), True)]
     ]
+
+
+def test_parse_query_wildcards():
+    """* / ? produce Wildcard leaves (Whoosh WildcardPlugin); field
+    prefixes apply; a bare all-wildcard token is noise; patterns keep only
+    token chars plus * and ?."""
+    got = parse_query("cust* AND title:s?rt NOT wind*")
+    assert got == [
+        [
+            (None, "cust*", False),
+            ("title", "s?rt", False),
+            (None, "wind*", True),
+        ]
+    ]
+    assert all(
+        isinstance(t, Wildcard) for grp in got for _, t, _ in grp
+    )
+    assert parse_query("* AND data") == [[(None, "data", False)]]
+    # punctuation inside a wildcard token is stripped, case folds
+    assert parse_query("Cu-st*") == [[(None, "cust*", False)]]
 
 
 def test_parse_query_field_prefix_case_sensitive():
@@ -242,6 +263,20 @@ def _brute_force_search(rows: dict[int, str], query: str, k: int):
             return _occ(ct, term)
         return BOOST_TITLE * _occ(tt, term) + _occ(ct, term)
 
+    import fnmatch
+    import re as _re
+
+    vocab = sorted({t for tt, ct in toks.values() for t in tt + ct})
+
+    def expand(pattern):
+        rx = _re.compile(fnmatch.translate(str(pattern)))
+        return [v for v in vocab if rx.match(v)]
+
+    def leaf_hit(d, field, term):
+        if isinstance(term, Wildcard):
+            return any(tf_w(d, field, x) > 0 for x in expand(term))
+        return tf_w(d, field, term) > 0
+
     groups = parse_query(query)
     match: set[int] = set()
     for grp in groups:
@@ -249,14 +284,22 @@ def _brute_force_search(rows: dict[int, str], query: str, k: int):
         for field, term, neg in grp:
             if neg:
                 continue
-            s = {d for d in rows if tf_w(d, field, term) > 0}
+            s = {d for d in rows if leaf_hit(d, field, term)}
             gm = s if gm is None else gm & s
         for field, term, neg in grp:
             if neg and gm:
-                gm -= {d for d in rows if tf_w(d, field, term) > 0}
+                gm -= {d for d in rows if leaf_hit(d, field, term)}
         if gm is not None:
             match |= gm
-    leaves = {(f, t) for grp in groups for f, t, neg in grp if not neg}
+    leaves = set()
+    for grp in groups:
+        for f, t, neg in grp:
+            if neg:
+                continue
+            if isinstance(t, Wildcard):
+                leaves.update((f, x) for x in expand(t))
+            else:
+                leaves.add((f, t))
     scores = {d: 0 for d in match}
     for field, term in leaves:
         df = sum(1 for d in rows if tf_w(d, field, term) > 0)
@@ -284,6 +327,11 @@ def _brute_force_search(rows: dict[int, str], query: str, k: int):
         'window NOT "customer join"',
         "(customer OR join) AND window",
         "window NOT (customer OR title:join)",
+        "custom*",
+        "cust* AND wind?w",
+        "window NOT custom*",
+        "title:c?stomer OR joining",
+        "(cust* OR join*) AND window",
     ],
 )
 def test_search_query_string_matches_brute_force(

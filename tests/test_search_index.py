@@ -271,3 +271,46 @@ def test_update_from_parquet_directory(ray_session, tmp_path):
     assert st["n_docs"] == 4
     assert idx.meta["live_docs"] == 4
     assert sorted(idx.and_terms(["join", "window"]).column("doc_id").to_pylist()) == [0, 2]
+
+
+def test_vocabulary_sidecar_and_fallback(ray_session, tmp_path, corpus):
+    """update() writes per-partition vocab sidecars (wildcard expansion
+    domain); _vocabulary equals the distinct indexed terms, survives
+    compaction, and falls back to the postings' term column for a
+    generation written without sidecars (pre-vocab format)."""
+    import os
+    import shutil
+
+    sub1 = corpus[0]
+    idx = SearchIndex.create(str(tmp_path / "idx_vocab"))
+    idx.update(_docs_table(sub1))
+    want = sorted(
+        {
+            t
+            for text in sub1.values()
+            for t in search._TOKEN.findall(text.lower())
+            + search._TOKEN.findall(text[: search.TITLE_CHARS].lower())
+        }
+    )
+    assert list(idx._vocabulary()) == want
+    assert idx._expand_wildcard("custom*") == [
+        t for t in want if t.startswith("custom")
+    ]
+    # wildcard search answers from the sidecar
+    got = idx.search("custom*", k=5)
+    assert got.num_rows == 5
+
+    # survives compaction (two generations -> one)
+    idx.update(_docs_table({i: "zebra " + sub1[i] for i in range(3)}))
+    idx.compact()
+    assert "zebra" in set(idx._vocabulary())
+    assert set(want) <= set(idx._vocabulary())
+
+    # pre-vocab-format fallback: remove the sidecar dirs, clear the cache
+    for e in idx.meta["generations"]:
+        shutil.rmtree(
+            os.path.join(idx._gen_dir(e["gen"]), "vocab"), ignore_errors=True
+        )
+    idx._vocab_cache = None
+    assert "zebra" in set(idx._vocabulary())
+    assert set(want) <= set(idx._vocabulary())
