@@ -33,6 +33,12 @@ import time
 HEALTHY_MATMUL_S = 0.30
 HEALTHY_ZLIB_GBS = 0.35
 
+# Best-ever sustained walls per cpu level (quiet windows, rounds 3-4) — the
+# scaling output reports each level's distance from these so a reading
+# inflated by a degraded NARROW level (r3's 0.929, r4's 0.840, r5's 0.935
+# all had the 4-cpu level 15-50% over its best) is self-identifying.
+BEST_SUSTAINED_WALL_S = {4: 35.01, 8: 21.2, 16: 10.49, 32: 9.37}
+
 
 def host_health_probe() -> dict:
     """Self-annotating host probe (r4 verdict item 1): every bench JSON
@@ -365,9 +371,27 @@ def main() -> None:
                         r_lo.get("host_health"),
                         r_hi.get("host_health"),
                     ],
+                    # distance of each level's wall from its best-ever quiet-
+                    # window wall: an efficiency reading is only meaningful
+                    # when BOTH are near 0 (a degraded narrow level INFLATES
+                    # efficiency; a degraded wide level deflates it)
+                    "pct_over_best_wall": [
+                        round(100 * (t_lo / BEST_SUSTAINED_WALL_S[lo] - 1), 1)
+                        if lo in BEST_SUSTAINED_WALL_S
+                        else None,
+                        round(100 * (t_hi / BEST_SUSTAINED_WALL_S[hi] - 1), 1)
+                        if hi in BEST_SUSTAINED_WALL_S
+                        else None,
+                    ],
                     "claimable": bool(
                         r_lo.get("host_health", {}).get("healthy")
                         and r_hi.get("host_health", {}).get("healthy")
+                        # both levels within 15% of best-ever: rules out the
+                        # noise-inflated shape as well as the deflated one
+                        and lo in BEST_SUSTAINED_WALL_S
+                        and hi in BEST_SUSTAINED_WALL_S
+                        and t_lo <= 1.15 * BEST_SUSTAINED_WALL_S[lo]
+                        and t_hi <= 1.15 * BEST_SUSTAINED_WALL_S[hi]
                     ),
                 }
             )
