@@ -959,15 +959,27 @@ def _keyed_hamming_id_pairs(
         a, b = _ordered_id_pairs(m, ii, jj)
         a_out.append(a)
         b_out.append(b)
-    # (2) distinct-sig pairs within a key: d-distance sweep over unique rows
+    # (2) distinct-sig pairs within a key: d-distance sweep over unique
+    # rows.  Each pass touches ONLY rows whose run extends d further (rows
+    # pre-sorted by distance-to-run-end), so total candidate work is
+    # exactly sum over keys of u_k*(u_k-1)/2 — one hot key (r5 review:
+    # e.g. a zero band pair shared by thousands of flat images) costs its
+    # own pairs, not a full-band scan per distance step.
     u = len(ukey)
     if u > 1:
         kchg = np.flatnonzero(np.diff(ukey) != 0) + 1
-        rlen = np.diff(np.concatenate([[0], kchg, [u]]))
-        for d in range(1, int(rlen.max())):
-            idx = np.flatnonzero(ukey[:-d] == ukey[d:])
-            if len(idx) == 0:
-                continue
+        rstart_k = np.concatenate([[0], kchg]).astype(np.int64)
+        rlen = np.diff(np.concatenate([rstart_k, [u]]))
+        run_of = np.repeat(np.arange(len(rlen)), rlen)
+        gap = rlen[run_of] - (np.arange(u) - rstart_k[run_of])  # to run end
+        order_g = np.argsort(-gap, kind="stable")
+        gap_desc = gap[order_g]
+        for d in range(1, int(gap_desc[0])):
+            # rows with gap > d, i.e. (row, row+d) stays within one key run
+            k_d = int(np.searchsorted(-gap_desc, -d, side="left"))
+            if k_d == 0:
+                break
+            idx = order_g[:k_d]
             xor = usig[idx] ^ usig[idx + d]
             ham = _POPCNT8[xor.view(np.uint8).reshape(len(idx), 8)].sum(
                 axis=1, dtype=np.uint8
@@ -1705,7 +1717,12 @@ def events_type_value_stats(sf_dir: str) -> pa.Table:
 # work (system_architecture_v3.md:319) made first-class.
 
 PHASH_HAMMING_MAX = 6
-_PHASH_BANDS = 8  # 8 x 8-bit bands: exhaustive for Hamming <= 7 (pigeonhole)
+# 8 x 8-bit bands, blocked on band PAIRS: pigeonhole-exact only for
+# Hamming <= bands - 2 (with k <= 6 flips across 8 bands, >= 2 bands stay
+# clean, so every qualifying pair shares a two-band key; at k = 7 the
+# flips can touch 7 bands leaving no clean PAIR)
+_PHASH_BANDS = 8
+assert PHASH_HAMMING_MAX <= _PHASH_BANDS - 2, "band-pair blocking bound"
 
 
 def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":

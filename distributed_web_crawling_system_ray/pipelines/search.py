@@ -157,9 +157,18 @@ def _lex_query(query_str: str) -> list:
             toks = tuple(_TOKEN.findall(body[1:-1].lower()))
             out.append(("phrase", field, toks))
         elif "*" in body or "?" in body:
-            pat = _WILD_CLEAN.sub("", body.lower())
-            if pat.strip("*?"):  # an all-wildcard token (bare '*') is noise
-                out.append(("wild", field, pat))
+            # split on non-token chars exactly like the word path, so an
+            # unrecognized prefix ('XYZ:cust*') or punctuation yields its
+            # own word token(s) beside the wildcard piece instead of
+            # merging into an unmatchable pattern (r5 review)
+            for piece in _WILD_CLEAN.split(body.lower()):
+                if not piece:
+                    continue
+                if "*" in piece or "?" in piece:
+                    if piece.strip("*?"):  # an all-wildcard piece is noise
+                        out.append(("wild", field, piece))
+                else:
+                    out.append(("word", field, [piece]))
         else:
             out.append(("word", field, _TOKEN.findall(body.lower())))
     return out
@@ -213,6 +222,11 @@ def _parse_unary(toks: list, i: int):
     if t == "NOT":
         if i + 1 >= len(toks):
             return None, i + 1
+        nxt = toks[i + 1]
+        if isinstance(nxt, str) and nxt not in ("(", "NOT"):
+            # vacuous NOT ('a NOT OR b', '(a NOT)'): drop the NOT and do
+            # NOT consume the operator — it belongs to the outer parse
+            return None, i + 1
         node, i = _parse_unary(toks, i + 1)
         return (None if node is None else _negate(node)), i
     if t == "(":
@@ -221,8 +235,11 @@ def _parse_unary(toks: list, i: int):
             i += 1
         return node, i
     # stray ')' is consumed by _parse_and's stop condition; here only
-    # word/phrase tokens remain
+    # word/phrase/wild tuples remain — treat any other raw operator string
+    # that slipped through as noise rather than destructuring it
     i += 1
+    if not isinstance(t, tuple):
+        return None, i
     kind, field, body = t
     if kind == "wild":
         return ("leaf", field, Wildcard(body), False), i

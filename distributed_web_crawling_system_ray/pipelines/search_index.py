@@ -1281,15 +1281,19 @@ class SearchIndex:
         )
         n = int(self.meta["live_docs"])
         total_dl = int(self.meta.get("total_dl", 0))
+        # main read: tf/df/dl for every query term, NO position columns —
+        # positions are the bulk of the postings bytes and only phrase
+        # constituents need them (r5 review: a mixed query was paying the
+        # positional cost for its high-df non-phrase terms)
         ds = self._pruned_postings(
-            all_terms, require_content_tf=False, with_positions=has_phrase
+            all_terms, require_content_tf=False, with_positions=False
         )
         parts = (
             [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
             if ds is not None
             else []
         )
-        # per-term posting columns (ids, tf, tf_title, dl[, positions])
+        # per-term posting columns (ids, tf, tf_title, dl)
         acc: dict[str, dict[str, list]] = {}
         for t in parts:
             terms_np = t.column("term")
@@ -1298,7 +1302,7 @@ class SearchIndex:
                 if not sub.num_rows:
                     continue
                 e = acc.setdefault(
-                    term, {"ids": [], "tf": [], "tft": [], "dl": [], "pos": [], "post": []}
+                    term, {"ids": [], "tf": [], "tft": [], "dl": []}
                 )
                 for key, col in (
                     ("ids", "doc_id"),
@@ -1307,9 +1311,6 @@ class SearchIndex:
                     ("dl", "dl"),
                 ):
                     e[key].append(sub.column(col).to_numpy(zero_copy_only=False))
-                if has_phrase:
-                    e["pos"].append(sub.column("pos").to_pylist())
-                    e["post"].append(sub.column("pos_title").to_pylist())
         cat: dict[str, dict] = {}
         for term, e in acc.items():
             cat[term] = {
@@ -1317,9 +1318,51 @@ class SearchIndex:
                 "tf": np.concatenate(e["tf"]),
                 "tft": np.concatenate(e["tft"]),
                 "dl": np.concatenate(e["dl"]),
-                "pos": [p for part in e["pos"] for p in part],
-                "post": [p for part in e["post"] for p in part],
             }
+        # positional read: ONLY the phrase constituents' partitions/rows
+        pos_cat: dict[str, dict] = {}
+        if has_phrase:
+            phrase_terms = sorted(
+                {
+                    x
+                    for grp in groups
+                    for _, t, _ in grp
+                    if isinstance(t, tuple)
+                    for x in t
+                }
+            )
+            pds = self._pruned_postings(
+                phrase_terms, require_content_tf=False, with_positions=True
+            )
+            pacc: dict[str, dict[str, list]] = {}
+            for t in (
+                [x for x in ray.get(pds.to_arrow_refs()) if x.num_rows]
+                if pds is not None
+                else []
+            ):
+                terms_np = t.column("term")
+                for term in phrase_terms:
+                    sub = t.filter(pc.equal(terms_np, term))
+                    if not sub.num_rows:
+                        continue
+                    e = pacc.setdefault(
+                        term, {"ids": [], "dl": [], "pos": [], "post": []}
+                    )
+                    e["ids"].append(
+                        sub.column("doc_id").to_numpy(zero_copy_only=False)
+                    )
+                    e["dl"].append(
+                        sub.column("dl").to_numpy(zero_copy_only=False)
+                    )
+                    e["pos"].append(sub.column("pos").to_pylist())
+                    e["post"].append(sub.column("pos_title").to_pylist())
+            for term, e in pacc.items():
+                pos_cat[term] = {
+                    "ids": np.concatenate(e["ids"]),
+                    "dl": np.concatenate(e["dl"]),
+                    "pos": [p for part in e["pos"] for p in part],
+                    "post": [p for part in e["post"] for p in part],
+                }
 
         _empty3 = (
             np.zeros(0, dtype=np.int64),
@@ -1351,7 +1394,7 @@ class SearchIndex:
             key = (field, toks)
             if key in phrase_cache:
                 return phrase_cache[key]
-            entries = [cat.get(x) for x in toks]
+            entries = [pos_cat.get(x) for x in toks]
             if any(e is None for e in entries):
                 phrase_cache[key] = _empty3
                 return _empty3

@@ -142,8 +142,17 @@ def test_parse_query_wildcards():
         isinstance(t, Wildcard) for grp in got for _, t, _ in grp
     )
     assert parse_query("* AND data") == [[(None, "data", False)]]
-    # punctuation inside a wildcard token is stripped, case folds
-    assert parse_query("Cu-st*") == [[(None, "cust*", False)]]
+    # punctuation splits like the word path (tokenizer-consistent): the
+    # non-wildcard piece is a plain term, the wildcard piece a pattern
+    assert parse_query("Cu-st*") == [[(None, "cu", False), (None, "st*", False)]]
+    # an unrecognized field prefix becomes its own term beside the pattern
+    assert parse_query("XYZ:cust*") == [
+        [(None, "xyz", False), (None, "cust*", False)]
+    ]
+    # vacuous NOT before an operator must not crash or fabricate leaves
+    assert parse_query("a NOT OR b") == [[(None, "a", False)], [(None, "b", False)]]
+    assert parse_query("a NOT AND b") == [[(None, "a", False), (None, "b", False)]]
+    assert parse_query("(a NOT) b") == [[(None, "a", False), (None, "b", False)]]
 
 
 def test_parse_query_field_prefix_case_sensitive():
