@@ -258,3 +258,34 @@ def test_keyed_hamming_kernel_matches_bruteforce():
         got.update(zip(a.tolist(), b.tolist()))
     assert got == want
     assert len(want) > 500  # dense: clusters + near pairs both present
+
+
+def test_keyed_hamming_kernel_hot_key_skew():
+    """One key shared by many DISTINCT sigs (the flat-image zero-band case)
+    must stay correct and cost only that key's own pairs — the d-distance
+    sweep is restricted to rows whose run extends d further."""
+    import numpy as np
+
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        _keyed_hamming_id_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    n_hot, n_cold = 400, 4000
+    # hot key 7: distinct sigs, some within Hamming<=2 of each other
+    hot_sigs = rng.integers(0, 2**10, size=n_hot, dtype=np.uint64)
+    cold_sigs = rng.integers(0, 2**63, size=n_cold, dtype=np.uint64)
+    keys = np.concatenate(
+        [np.full(n_hot, 7, np.int32), np.arange(100, 100 + n_cold, dtype=np.int32)]
+    )
+    sigs = np.concatenate([hot_sigs, cold_sigs])
+    ids = np.array([f"i{k:05d}" for k in range(n_hot + n_cold)])
+    a, b = _keyed_hamming_id_pairs(keys, sigs, ids, 2)
+    got = set(zip(a.tolist(), b.tolist()))
+    want = set()
+    for i in range(n_hot):
+        for j in range(i + 1, n_hot):
+            if bin(int(hot_sigs[i]) ^ int(hot_sigs[j])).count("1") <= 2:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got == want
+    assert len(want) > 100  # the hot key is actually hot
