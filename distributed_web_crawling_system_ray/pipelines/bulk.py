@@ -309,14 +309,14 @@ def bulk_fetch_decode(
     # set is chunked driver-side (no shuffle at all); above it the set
     # cannot be driver-held and the schedule is a Dataset groupby('host')
     small = n_pages <= cfg.driver_partition_limit
-    pages = (
-        pq.read_table(pages_path, columns=["url", "host"]) if small else None
-    )
+    pages_full = pq.read_table(pages_path)  # read once; chunk table selects
+    pages = pages_full.select(["url", "host"]) if small else None
     store_refs = (
-        ray.put(pq.read_table(os.path.join(fixture_dir, "web_pages.parquet"))),
+        ray.put(pages_full),
         ray.put(pq.read_table(os.path.join(fixture_dir, "robots.parquet"))),
         ray.put(pq.read_table(os.path.join(fixture_dir, "images.parquet"))),
     )
+    del pages_full
     dedup = repeat == 1
     if warmup:  # spin up the worker pool + per-worker store handles
         wpages = (
