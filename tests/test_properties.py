@@ -79,3 +79,38 @@ def test_codec_roundtrip_properties(h, w, seed):
     lossy, fmt2 = decode_image(encode_lossy(img))
     assert fmt2 == "jpeg" and lossy.shape == img.shape
     assert psnr(img, lossy) >= 40.0
+
+
+@given(st.text(max_size=120))
+@example("a NOT OR b")
+@example("a NOT AND b")
+@example("(a NOT) b")
+@example('NOT "phrase here" OR (x* AND ?y) title:')
+@example("((((")
+@example(')))) OR "unclosed')
+@example("*:* ? AND OR NOT")
+@settings(max_examples=300, deadline=None)
+def test_parse_query_total(q):
+    """parse_query is TOTAL over arbitrary strings (the user-facing /search
+    surface feeds raw input to it): never raises, and every leaf is a
+    well-formed (field, term, negated) with term a str/Wildcard/token-tuple."""
+    from distributed_web_crawling_system_ray.pipelines.search import (
+        QUERY_FIELDS,
+        Wildcard,
+        parse_query,
+    )
+
+    groups = parse_query(q)
+    for grp in groups:
+        assert grp  # empty AND-groups are dropped
+        for field, term, neg in grp:
+            assert field is None or field in QUERY_FIELDS
+            assert isinstance(neg, bool)
+            if isinstance(term, Wildcard):
+                assert term.strip("*?")  # all-wildcard leaves are dropped
+            elif isinstance(term, tuple):
+                assert len(term) >= 2 and all(
+                    isinstance(x, str) and x for x in term
+                )
+            else:
+                assert isinstance(term, str) and term
