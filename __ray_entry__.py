@@ -451,6 +451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_brand": dataops.revenue_by_brand,
         # --- multimodal: image table ops ---
         "image_phash_near_dup": dataops.image_phash_near_dup,
+        # connected components over the phash pairs — keep-one-per-cluster
+        # image dedup (twin of doc_dedup_clusters)
+        "image_phash_clusters": dataops.image_phash_clusters,
         "image_stats_by_fmt": dataops.image_stats_by_fmt,
         "image_features": dataops.image_features_table,
         "image_thumbnails": dataops.image_thumbnails,
@@ -504,6 +507,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.image_id AS a, b.image_id AS b FROM i a JOIN i b "
             "ON a.image_id < b.image_id "
             "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
+        ),
+        "image_phash_clusters": (
+            "WITH RECURSIVE "
+            f"i AS (SELECT image_id, phash FROM read_parquet('{t2}/images.parquet')), "
+            "pairs AS (SELECT a.image_id AS a, b.image_id AS b "
+            "FROM i a JOIN i b ON a.image_id < b.image_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach(src, dst) AS ("
+            "SELECT image_id, image_id FROM i "
+            "UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT src AS image_id, min(dst) AS cluster_id "
+            "FROM reach GROUP BY src"
         ),
         "image_stats_by_fmt": (
             f"SELECT fmt, count(*)::BIGINT AS n, "

@@ -2153,6 +2153,43 @@ def doc_dedup_clusters(sf_dir: str, cc_driver_edge_limit: int | None = None) -> 
     )
 
 
+def image_phash_clusters(sf_dir: str) -> pa.Table:
+    """Image near-dup connected components: phash band-pair LSH pairs ->
+    min-label propagation -> (image_id, cluster_id = lexicographic-min
+    member id) — the image-side twin of ``doc_dedup_clusters``, the "keep
+    one per near-dup cluster" primitive for image training corpora.
+
+    The verified pair set is output-sized (near-dup rate, not corpus rate),
+    so labels propagate driver-side over the content-hash STRING ids
+    (``_cc_labels_driver`` is type-generic; min is lexicographic, matching
+    the SQL oracle's min over VARCHAR).  Cluster assignment streams over
+    the images Dataset with the pair-member label map broadcast once —
+    singletons label themselves; the corpus never materializes."""
+    pairs = image_phash_near_dup(sf_dir)
+    label = _cc_labels_driver(pairs)
+    label_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        lbl = get_object(label_ref)
+        ids = batch.column("image_id").to_pylist()
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "cluster_id": pa.array(
+                    [lbl.get(d, d) for d in ids], pa.string()
+                ),
+            }
+        )
+
+    return _to_table(
+        _images_ds(sf_dir, ("image_id",)).map_batches(
+            assign, batch_format="pyarrow"
+        )
+    )
+
+
 SLIDE_STEP_S = 900  # 15-min slide over 1-hour windows
 
 

@@ -289,3 +289,31 @@ def test_keyed_hamming_kernel_hot_key_skew():
                 want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert got == want
     assert len(want) > 100  # the hot key is actually hot
+
+
+def test_image_phash_clusters_consistent_with_pairs():
+    """Every near-dup pair shares a cluster; cluster_id is the
+    lexicographic-min member; non-members are singletons labeled by
+    themselves; output covers the whole image table exactly once."""
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        image_phash_clusters,
+        image_phash_near_dup,
+    )
+
+    pairs = image_phash_near_dup(SF)
+    clusters = image_phash_clusters(SF)
+    lbl = dict(
+        zip(
+            clusters.column("image_id").to_pylist(),
+            clusters.column("cluster_id").to_pylist(),
+        )
+    )
+    members = set()
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        assert lbl[a] == lbl[b]
+        members |= {a, b}
+    for m in members:
+        assert lbl[m] <= m  # min-member labeling
+    singles = set(lbl) - members
+    assert all(lbl[s] == s for s in singles)
+    assert len(lbl) == clusters.num_rows  # one row per image, no dups
