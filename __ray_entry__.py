@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index_stats": search_index.search_index_stats,
         # --- training-data ops: embeddings ---
         "emb_near_dup_pairs": dataops.emb_near_dup_pairs,
+        # connected components over the cosine pairs — keep-one-per-cluster
+        # embedding dedup (analog of doc_dedup_clusters)
+        "emb_dedup_clusters": dataops.emb_dedup_clusters,
         "ann_topk": dataops.ann_topk,
         "ann_topk_lsh": dataops.ann_topk_lsh,
         # IVF path registered at full probe (nprobe == nlist): exercises the
@@ -706,6 +709,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
             "SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b "
             "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.v, b.v) >= 0.45"
+        ),
+        "emb_dedup_clusters": (
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "pairs AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b "
+            "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.v, b.v) >= 0.45), "
+            "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+            "reach(src, dst) AS ("
+            "SELECT vec_id, vec_id FROM e "
+            "UNION "
+            "SELECT r.src, ed.b FROM reach r JOIN edges ed ON ed.a = r.dst) "
+            "SELECT src AS vec_id, min(dst)::BIGINT AS cluster_id "
+            "FROM reach GROUP BY src"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e "

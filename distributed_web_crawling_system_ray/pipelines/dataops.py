@@ -2153,6 +2153,43 @@ def doc_dedup_clusters(sf_dir: str, cc_driver_edge_limit: int | None = None) -> 
     )
 
 
+def emb_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Embedding near-dup connected components: cosine-threshold pairs ->
+    min-label propagation -> (vec_id, cluster_id = min member id) — the
+    embedding-side analog of ``doc_dedup_clusters`` (keep one vector per
+    semantic near-dup cluster).  Same scale shape: the verified pair set is
+    output-sized, labels propagate driver-side (Dataset-iterative min-label
+    above ``CC_DRIVER_EDGE_LIMIT``, shared with the doc path), singletons
+    stream from the embeddings Dataset with the label map broadcast."""
+    pairs = emb_near_dup_pairs(sf_dir)
+    label = (
+        _cc_labels_driver(pairs)
+        if pairs.num_rows <= CC_DRIVER_EDGE_LIMIT
+        else _cc_labels_dataset(pairs)
+    )
+    label_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        lbl = get_object(label_ref)
+        ids = batch.column("vec_id").to_pylist()
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster_id": pa.array(
+                    [lbl.get(d, d) for d in ids], pa.int64()
+                ),
+            }
+        )
+
+    return _to_table(
+        _emb(sf_dir, columns=("vec_id",)).map_batches(
+            assign, batch_format="pyarrow"
+        )
+    )
+
+
 def image_phash_clusters(sf_dir: str) -> pa.Table:
     """Image near-dup connected components: phash band-pair LSH pairs ->
     min-label propagation -> (image_id, cluster_id = lexicographic-min

@@ -356,3 +356,29 @@ def test_hamming_kernel_matches_bruteforce_and_hot_bucket_bounded():
     assert set(zip(ii1.tolist(), jj1.tolist())) == set(
         zip(ii2.tolist(), jj2.tolist())
     )
+
+
+def test_emb_dedup_clusters_consistent_with_pairs():
+    """Every cosine near-dup pair shares a cluster labeled by its min
+    member; non-members are singletons; one row per vector."""
+    from distributed_web_crawling_system_ray.pipelines.dataops import (
+        emb_dedup_clusters,
+        emb_near_dup_pairs,
+    )
+
+    pairs = emb_near_dup_pairs(SF)
+    clusters = emb_dedup_clusters(SF)
+    lbl = dict(
+        zip(
+            clusters.column("vec_id").to_pylist(),
+            clusters.column("cluster_id").to_pylist(),
+        )
+    )
+    members = set()
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        assert lbl[a] == lbl[b]
+        members |= {a, b}
+    for m in members:
+        assert lbl[m] <= m
+    assert all(lbl[s] == s for s in set(lbl) - members)
+    assert clusters.num_rows == len(lbl)
