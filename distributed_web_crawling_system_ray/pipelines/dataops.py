@@ -2018,9 +2018,11 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
     return _to_table(out)
 
 
-def _cc_labels_driver(pairs: pa.Table) -> dict[int, int]:
+def _cc_labels_driver(pairs: pa.Table) -> dict:
     """Min-label propagation over the (small) verified edge set, driver-side.
-    Returns labels ONLY for pair-member nodes."""
+    Returns labels ONLY for pair-member nodes.  Type-generic: node ids may
+    be ints (docs, embeddings) or strings (image content hashes) — min is
+    numeric or lexicographic accordingly, matching the SQL oracles."""
     edges: dict[int, set[int]] = {}
     for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
         edges.setdefault(a, set()).add(b)
@@ -2037,14 +2039,33 @@ def _cc_labels_driver(pairs: pa.Table) -> dict[int, int]:
     return label
 
 
-def _cc_labels_dataset(pairs: pa.Table) -> dict[int, int]:
+def _cc_labels_dataset(pairs: pa.Table) -> dict:
     """Dataset-native min-label propagation (the web-scale path): labels and
     edges are Datasets; each round sends every node's current label across
     its edges and folds ``groupby(node).min(label)``; terminates when the
     global label sum (a tiny aggregate) stops falling — monotone, so this is
     a fixpoint test, not a heuristic.  Rounds = component diameter.
+
+    Non-integer node ids (image content-hash strings) are remapped to their
+    rank in the sorted pair-member id set first — a pair-member-sized array,
+    the same budget as the returned label dict — so the iterative core keeps
+    its exact integer label-sum fixpoint test; rank order preserves
+    lexicographic order, so min-rank == min-id.
     """
     from ray.data.aggregate import Min, Sum
+
+    if not pa.types.is_integer(pairs.schema.field("a").type):
+        arr_a = pairs.column("a").to_numpy(zero_copy_only=False)
+        arr_b = pairs.column("b").to_numpy(zero_copy_only=False)
+        uniq_ids = np.unique(np.concatenate([arr_a, arr_b]))
+        int_pairs = pa.table(
+            {
+                "a": pa.array(np.searchsorted(uniq_ids, arr_a), pa.int64()),
+                "b": pa.array(np.searchsorted(uniq_ids, arr_b), pa.int64()),
+            }
+        )
+        lbl = _cc_labels_dataset(int_pairs)
+        return {uniq_ids[n]: uniq_ids[v] for n, v in lbl.items()}
 
     nodes = pa.concat_tables(
         [pairs.select(["a"]).rename_columns(["node"]), pairs.select(["b"]).rename_columns(["node"])]
@@ -2116,6 +2137,44 @@ def _cc_labels_dataset(pairs: pa.Table) -> dict[int, int]:
 CC_DRIVER_EDGE_LIMIT = 5_000_000  # pairs above this go through the Dataset path
 
 
+def _cc_labels(pairs: pa.Table, driver_edge_limit: int | None = None) -> dict:
+    """Connected-component labels for pair-member nodes: driver loop below
+    the edge limit, Dataset-iterative min-label above it (both type-generic
+    over int and string ids; pytest pins the paths equal)."""
+    limit = CC_DRIVER_EDGE_LIMIT if driver_edge_limit is None else driver_edge_limit
+    return (
+        _cc_labels_driver(pairs)
+        if pairs.num_rows <= limit
+        else _cc_labels_dataset(pairs)
+    )
+
+
+def _assign_cluster_labels(
+    ds: "ray.data.Dataset", id_col: str, label: dict
+) -> pa.Table:
+    """(id, cluster_id) over a full id Dataset: the pair-member label map is
+    broadcast once; non-members are singletons labeled by their own id.
+    ``cluster_id`` keeps the id column's type (int64 docs/vectors, string
+    image content hashes).  Shared by all three *_clusters operators."""
+    label_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from distributed_web_crawling_system_ray.stages.cache import get_object
+
+        lbl = get_object(label_ref)
+        col = batch.column(id_col)
+        return pa.table(
+            {
+                id_col: col,
+                "cluster_id": pa.array(
+                    [lbl.get(d, d) for d in col.to_pylist()], col.type
+                ),
+            }
+        )
+
+    return _to_table(ds.map_batches(assign, batch_format="pyarrow"))
+
+
 def doc_dedup_clusters(sf_dir: str, cc_driver_edge_limit: int | None = None) -> pa.Table:
     """Near-dup connected components: LSH-verified pairs -> min-label
     propagation until fixpoint -> (doc_id, cluster_id=min id in component).
@@ -2128,102 +2187,44 @@ def doc_dedup_clusters(sf_dir: str, cc_driver_edge_limit: int | None = None) -> 
     emitted by a streaming map over the docs Dataset with the pair-member
     label map broadcast once.  SQL oracle: recursive CTE transitive closure.
     """
-    pairs = doc_near_dup_pairs(sf_dir)
-    limit = CC_DRIVER_EDGE_LIMIT if cc_driver_edge_limit is None else cc_driver_edge_limit
-    if pairs.num_rows <= limit:
-        label = _cc_labels_driver(pairs)
-    else:
-        label = _cc_labels_dataset(pairs)
-    label_ref = ray.put(label)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        from distributed_web_crawling_system_ray.stages.cache import get_object
-
-        lbl = get_object(label_ref)
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "cluster_id": pa.array([lbl.get(d, d) for d in ids], pa.int64()),
-            }
-        )
-
-    return _to_table(
-        _docs(sf_dir, columns=("doc_id",)).map_batches(assign, batch_format="pyarrow")
+    return _assign_cluster_labels(
+        _docs(sf_dir, columns=("doc_id",)),
+        "doc_id",
+        _cc_labels(doc_near_dup_pairs(sf_dir), cc_driver_edge_limit),
     )
 
 
-def emb_dedup_clusters(sf_dir: str) -> pa.Table:
+def emb_dedup_clusters(
+    sf_dir: str, cc_driver_edge_limit: int | None = None
+) -> pa.Table:
     """Embedding near-dup connected components: cosine-threshold pairs ->
     min-label propagation -> (vec_id, cluster_id = min member id) — the
     embedding-side analog of ``doc_dedup_clusters`` (keep one vector per
-    semantic near-dup cluster).  Same scale shape: the verified pair set is
-    output-sized, labels propagate driver-side (Dataset-iterative min-label
-    above ``CC_DRIVER_EDGE_LIMIT``, shared with the doc path), singletons
-    stream from the embeddings Dataset with the label map broadcast."""
-    pairs = emb_near_dup_pairs(sf_dir)
-    label = (
-        _cc_labels_driver(pairs)
-        if pairs.num_rows <= CC_DRIVER_EDGE_LIMIT
-        else _cc_labels_dataset(pairs)
-    )
-    label_ref = ray.put(label)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        from distributed_web_crawling_system_ray.stages.cache import get_object
-
-        lbl = get_object(label_ref)
-        ids = batch.column("vec_id").to_pylist()
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "cluster_id": pa.array(
-                    [lbl.get(d, d) for d in ids], pa.int64()
-                ),
-            }
-        )
-
-    return _to_table(
-        _emb(sf_dir, columns=("vec_id",)).map_batches(
-            assign, batch_format="pyarrow"
-        )
+    semantic near-dup cluster).  Same scale shape: output-sized pair set,
+    driver labels below the edge limit / Dataset-iterative above, singleton
+    assignment streamed with the label map broadcast."""
+    return _assign_cluster_labels(
+        _emb(sf_dir, columns=("vec_id",)),
+        "vec_id",
+        _cc_labels(emb_near_dup_pairs(sf_dir), cc_driver_edge_limit),
     )
 
 
-def image_phash_clusters(sf_dir: str) -> pa.Table:
+def image_phash_clusters(
+    sf_dir: str, cc_driver_edge_limit: int | None = None
+) -> pa.Table:
     """Image near-dup connected components: phash band-pair LSH pairs ->
     min-label propagation -> (image_id, cluster_id = lexicographic-min
     member id) — the image-side twin of ``doc_dedup_clusters``, the "keep
     one per near-dup cluster" primitive for image training corpora.
 
-    The verified pair set is output-sized (near-dup rate, not corpus rate),
-    so labels propagate driver-side over the content-hash STRING ids
-    (``_cc_labels_driver`` is type-generic; min is lexicographic, matching
-    the SQL oracle's min over VARCHAR).  Cluster assignment streams over
-    the images Dataset with the pair-member label map broadcast once —
-    singletons label themselves; the corpus never materializes."""
-    pairs = image_phash_near_dup(sf_dir)
-    label = _cc_labels_driver(pairs)
-    label_ref = ray.put(label)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        from distributed_web_crawling_system_ray.stages.cache import get_object
-
-        lbl = get_object(label_ref)
-        ids = batch.column("image_id").to_pylist()
-        return pa.table(
-            {
-                "image_id": batch.column("image_id"),
-                "cluster_id": pa.array(
-                    [lbl.get(d, d) for d in ids], pa.string()
-                ),
-            }
-        )
-
-    return _to_table(
-        _images_ds(sf_dir, ("image_id",)).map_batches(
-            assign, batch_format="pyarrow"
-        )
+    Node ids are content-hash STRINGS: min is lexicographic (matching the
+    SQL oracle's min over VARCHAR); above the edge limit the Dataset CC
+    path remaps them to sorted-rank ints (order-preserving) and back."""
+    return _assign_cluster_labels(
+        _images_ds(sf_dir, ("image_id",)),
+        "image_id",
+        _cc_labels(image_phash_near_dup(sf_dir), cc_driver_edge_limit),
     )
 
 

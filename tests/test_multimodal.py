@@ -292,28 +292,19 @@ def test_keyed_hamming_kernel_hot_key_skew():
 
 
 def test_image_phash_clusters_consistent_with_pairs():
-    """Every near-dup pair shares a cluster; cluster_id is the
-    lexicographic-min member; non-members are singletons labeled by
-    themselves; output covers the whole image table exactly once."""
+    """Label map equals the exact BFS components of the pair graph (so a
+    cross-component merge — two real clusters sharing a label — fails);
+    singletons self-label; one row per image.  The forced Dataset CC path
+    (string ids remapped to sorted-rank ints) is pinned identical."""
     from distributed_web_crawling_system_ray.pipelines.dataops import (
         image_phash_clusters,
         image_phash_near_dup,
     )
+    from tests.test_dataops import check_cluster_labels
 
-    pairs = image_phash_near_dup(SF)
-    clusters = image_phash_clusters(SF)
-    lbl = dict(
-        zip(
-            clusters.column("image_id").to_pylist(),
-            clusters.column("cluster_id").to_pylist(),
-        )
-    )
-    members = set()
-    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
-        assert lbl[a] == lbl[b]
-        members |= {a, b}
-    for m in members:
-        assert lbl[m] <= m  # min-member labeling
-    singles = set(lbl) - members
-    assert all(lbl[s] == s for s in singles)
-    assert len(lbl) == clusters.num_rows  # one row per image, no dups
+    sf = "/root/testdata/sf0.01"  # t2 fixture: planted dups exist
+    pairs = image_phash_near_dup(sf)
+    comp = check_cluster_labels(pairs, image_phash_clusters(sf), "image_id")
+    assert comp  # non-vacuous
+    forced = image_phash_clusters(sf, cc_driver_edge_limit=0)
+    check_cluster_labels(pairs, forced, "image_id")
