@@ -300,7 +300,7 @@ def test_image_phash_clusters_consistent_with_pairs():
         image_phash_clusters,
         image_phash_near_dup,
     )
-    from tests.test_dataops import check_cluster_labels
+    from conftest import check_cluster_labels
 
     sf = "/root/testdata/sf0.01"  # t2 fixture: planted dups exist
     pairs = image_phash_near_dup(sf)
