@@ -490,3 +490,44 @@ def test_stats_surface(ray_session, tmp_path, corpus):
     st2 = idx.stats()
     assert st2["document_count"] == len(corpus) + 1
     assert st2["n_generations"] == 2
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_search_total_over_arbitrary_queries(ray_session, tmp_path, corpus, seed):
+    """SearchIndex.search is total over arbitrary query strings (the
+    reference feeds raw user input to its parser): any string either
+    returns a well-formed k-row table or raises the DOCUMENTED
+    pure-negation ValueError — never anything else.  Hypothesis drives the
+    grammar corners (wildcards, phrases, parens, operators, field
+    prefixes) against a real index."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idx_dir = tmp_path / "idx_total"
+    idx = SearchIndex.create(str(idx_dir))
+    idx.update(_docs_table(corpus))
+
+    tokens = st.sampled_from(
+        ["customer", "join*", "wind?w", '"customer join"', "title:", "AND",
+         "OR", "NOT", "(", ")", "*", "??", "title:customer", 'content:"a b"',
+         "xyz:stream", "-", '"', "the"]
+    )
+
+    @given(st.lists(tokens, min_size=0, max_size=8).map(" ".join))
+    @settings(max_examples=120, deadline=None)
+    def run(q):
+        try:
+            out = idx.search(q, k=5)
+        except ValueError as e:
+            assert "pure-negation" in str(e)
+            return
+        assert out.num_rows <= 5  # search returns MATCHES only, up to k
+        assert out.column_names == [
+            "rank", "doc_id", "url", "title", "domain", "crawl_date",
+            "score", "snippet",
+        ]
+        assert out.column("rank").to_pylist() == list(
+            range(1, out.num_rows + 1)
+        )
+
+    run()
