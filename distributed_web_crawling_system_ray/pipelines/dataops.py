@@ -371,16 +371,42 @@ def doc_minhash_bands(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(bands, batch_format="pyarrow")
 
 
+# rows per vectorized-run group in the banded candidate/verify kernels —
+# whole-band groups at web scale would put one corpus-sized table on one
+# worker, so bands sub-bucket by hash when a band exceeds this (the sub key
+# is hash-mod, so every band_hash bucket stays whole; K=1 at test scales)
+BAND_GROUP_TARGET_ROWS = 2_000_000
+
+
+def _band_subbuckets(n_rows_per_band: int) -> int:
+    return max(1, -(-int(n_rows_per_band) // BAND_GROUP_TARGET_ROWS))
+
+
 def _lsh_candidate_ds(sf_dir: str) -> "ray.data.Dataset":
     """Raw candidate pairs (a < b) per LSH bucket — duplicated across bands
     (the cross-band dedup is the caller's, path-dependent).  Materialized so
     the threshold count and the downstream consumer share one execution.
 
-    One map_groups call per BAND: a per-(band, hash) map_groups spawns a
-    Python call per bucket — ~#docs x #bands mostly-singleton buckets, the
-    dominant cost at 10x bench scale (r5 sf1 profile).  Within a band the
-    buckets are runs of a vectorized sort by band_hash; only multi-member
-    runs (actual candidates) reach Python."""
+    One map_groups call per (band, sub-bucket): a per-(band, hash)
+    map_groups spawns a Python call per bucket — ~#docs x #bands
+    mostly-singleton buckets, the dominant cost at 10x bench scale (r5 sf1
+    profile) — while a whole-band group holds the corpus on one worker at
+    web scale, so bands above ``BAND_GROUP_TARGET_ROWS`` split by
+    ``band_hash % K`` (bucket-preserving).  Within a group the buckets are
+    runs of a vectorized sort by band_hash; only multi-member runs (actual
+    candidates) reach Python."""
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    k_sub = _band_subbuckets(n_docs)
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "sub", pa.array((bh % np.uint64(k_sub)).astype(np.int32), pa.int32())
+        )
 
     def pairs(group: pa.Table) -> pa.Table:
         bh = group.column("band_hash").to_numpy(zero_copy_only=False)
@@ -401,9 +427,11 @@ def _lsh_candidate_ds(sf_dir: str) -> "ray.data.Dataset":
         b = np.concatenate(b_out) if b_out else np.zeros(0, np.int64)
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
+    ds = doc_minhash_bands(sf_dir)
+    if k_sub > 1:  # engage only at scale: K=1 keeps the single-key plan
+        ds = ds.map_batches(add_sub, batch_format="pyarrow")
     return (
-        doc_minhash_bands(sf_dir)
-        .groupby("band_id")
+        ds.groupby(["band_id", "sub"] if k_sub > 1 else "band_id")
         .map_groups(pairs, batch_format="pyarrow")
         .materialize()
     )
@@ -513,13 +541,15 @@ def doc_near_dup_pairs(
         return empty
     # partitioning knobs derived from measured volume (never below the
     # floors, so small corpora keep the pinned 32/64 layout)
-    verify_buckets = _auto_verify_buckets(n_raw, verify_target_pairs)
     if n_raw > driver_pair_limit:
         join_buckets = _auto_join_buckets(
             _docs(sf_dir, columns=("doc_id",)).count(), join_target_docs
         )
         return _near_dup_pairs_distributed(
-            sf_dir, cand_ds, verify_buckets=verify_buckets, join_buckets=join_buckets
+            sf_dir,
+            cand_ds,
+            verify_target_pairs=verify_target_pairs,
+            join_buckets=join_buckets,
         )
     out = _to_table(cand_ds)
     ab = np.stack(
@@ -530,6 +560,9 @@ def doc_near_dup_pairs(
         axis=1,
     )
     uniq = np.unique(ab, axis=0)
+    # sized from the DEDUPED pair count — the raw cross-band count
+    # over-provisions by the band multiplicity (r5 review)
+    verify_buckets = _auto_verify_buckets(len(uniq), verify_target_pairs)
     cands = pa.table(
         {
             "a": pa.array(uniq[:, 0], pa.int64()),
@@ -658,7 +691,7 @@ def _jaccard_verify_rows(
 def _near_dup_pairs_distributed(
     sf_dir: str,
     cand_ds: "ray.data.Dataset",
-    verify_buckets: int = VERIFY_BUCKETS,
+    verify_target_pairs: int = VERIFY_TARGET_PAIRS,
     join_buckets: int = JOIN_BUCKETS,
 ) -> pa.Table:
     """The no-driver-state verify path for dup-heavy corpora.
@@ -682,6 +715,9 @@ def _near_dup_pairs_distributed(
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .materialize()
     )
+    # sized from the DEDUPED pair count (a metadata-cheap count on the
+    # materialized Dataset), not the band-multiplied raw count
+    verify_buckets = _auto_verify_buckets(uniq.count(), verify_target_pairs)
 
     def member_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -1725,19 +1761,20 @@ _PHASH_BANDS = 8
 assert PHASH_HAMMING_MAX <= _PHASH_BANDS - 2, "band-pair blocking bound"
 
 
-def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
+def _images_path(sf_dir: str) -> str:
     # an sf_dir carrying its own images table (e.g. the synthesized sf1
     # scale-evidence fixture) wins over the crawl-fixture mapping
     direct = os.path.join(sf_dir, "images.parquet")
     if os.path.exists(direct):
-        return _read_pq(direct, columns=list(columns))
+        return direct
     from distributed_web_crawling_system_ray.api import scale_for
     from distributed_web_crawling_system_ray.sources.synthweb import build_fixture
 
-    fixture = build_fixture(scale_for(sf_dir))
-    return _read_pq(
-        os.path.join(fixture, "images.parquet"), columns=list(columns)
-    )
+    return os.path.join(build_fixture(scale_for(sf_dir)), "images.parquet")
+
+
+def _images_ds(sf_dir: str, columns) -> "ray.data.Dataset":
+    return _read_pq(_images_path(sf_dir), columns=list(columns))
 
 
 # precomputed C(8,2)=28 band-pair combinations for the phash blocking key
@@ -1758,8 +1795,13 @@ def image_phash_near_dup(sf_dir: str) -> pa.Table:
     n/256 per bucket, turning the exact verify quadratic at 10x bench
     scale (228s of CPU at 250k images, measured); 16-bit pair keys cut
     bucket occupancy 256x for a 3.5x fan-out — the same pigeonhole
-    upgrade the SimHash text path uses, one level deeper.  The SQL oracle
-    brute-forces xor/bit_count; output is unchanged."""
+    upgrade the SimHash text path uses, one level deeper.  Bands above
+    ``BAND_GROUP_TARGET_ROWS`` sub-bucket by ``key % K`` (bucket-
+    preserving) so no single map_groups call holds the corpus.  The SQL
+    oracle brute-forces xor/bit_count; output is unchanged."""
+    import pyarrow.parquet as _pq
+
+    k_sub = _band_subbuckets(_pq.read_metadata(_images_path(sf_dir)).num_rows)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ph = np.asarray(batch.column("phash").to_pylist(), dtype=np.int64).view(
@@ -1774,16 +1816,17 @@ def image_phash_near_dup(sf_dir: str) -> pa.Table:
         take = pa.array(
             np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_combos)
         )
-        return pa.table(
-            {
-                "band": pa.array(
-                    np.tile(np.arange(n_combos, dtype=np.int16), n)
-                ),
-                "key": pa.array(keys.ravel(), pa.int32()),
-                "image_id": batch.column("image_id").take(take),
-                "sig": pa.array(np.repeat(ph, n_combos), pa.uint64()),
-            }
-        )
+        cols = {
+            "band": pa.array(np.tile(np.arange(n_combos, dtype=np.int16), n)),
+            "key": pa.array(keys.ravel(), pa.int32()),
+            "image_id": batch.column("image_id").take(take),
+            "sig": pa.array(np.repeat(ph, n_combos), pa.uint64()),
+        }
+        if k_sub > 1:  # engage only at scale: K=1 keeps the single-key plan
+            cols["sub"] = pa.array(
+                (keys.ravel() % k_sub).astype(np.int32), pa.int32()
+            )
+        return pa.table(cols)
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("image_id").to_pylist())
@@ -1797,7 +1840,7 @@ def image_phash_near_dup(sf_dir: str) -> pa.Table:
     cand = (
         _images_ds(sf_dir, ("image_id", "phash"))
         .map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
+        .groupby(["band", "sub"] if k_sub > 1 else "band")
         .map_groups(pairs, batch_format="pyarrow")
     )
     out = _to_table(cand)

@@ -159,16 +159,21 @@ def _lex_query(query_str: str) -> list:
         elif "*" in body or "?" in body:
             # split on non-token chars exactly like the word path, so an
             # unrecognized prefix ('XYZ:cust*') or punctuation yields its
-            # own word token(s) beside the wildcard piece instead of
-            # merging into an unmatchable pattern (r5 review)
+            # own word piece(s) beside the wildcard piece instead of
+            # merging into an unmatchable pattern (r5 review).  All pieces
+            # stay ONE lexical unit — 'NOT data-cust*' must negate every
+            # piece, exactly like the multi-token word contract.
+            pieces: list = []
             for piece in _WILD_CLEAN.split(body.lower()):
                 if not piece:
                     continue
                 if "*" in piece or "?" in piece:
                     if piece.strip("*?"):  # an all-wildcard piece is noise
-                        out.append(("wild", field, piece))
+                        pieces.append(Wildcard(piece))
                 else:
-                    out.append(("word", field, [piece]))
+                    pieces.append(piece)
+            if pieces:
+                out.append(("pieces", field, pieces))
         else:
             out.append(("word", field, _TOKEN.findall(body.lower())))
     return out
@@ -241,8 +246,11 @@ def _parse_unary(toks: list, i: int):
     if not isinstance(t, tuple):
         return None, i
     kind, field, body = t
-    if kind == "wild":
-        return ("leaf", field, Wildcard(body), False), i
+    if kind == "pieces":
+        # mixed word/wildcard pieces of ONE source word: a single lexical
+        # unit (wordand), so NOT distributes over every piece
+        leaves = [("leaf", field, p, False) for p in body]
+        return (("wordand", leaves) if len(leaves) > 1 else leaves[0]), i
     if kind == "phrase":
         if not body:
             return None, i

@@ -66,6 +66,34 @@ from distributed_web_crawling_system_ray.pipelines.search import (
 )
 
 
+def _runs_by_term(parts: list):
+    """(term, rows) runs over concatenated posting parts: one sort by term,
+    then boundary slices — O(rows log rows) total regardless of how many
+    distinct terms a wildcard expansion produced."""
+    if not parts:
+        return
+    tbl = pa.concat_tables(parts).sort_by("term")
+    if tbl.num_rows == 0:
+        return
+    terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+    chg = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate([[0], chg])
+    ends = np.concatenate([chg, [len(terms)]])
+    for s0, e0 in zip(starts, ends):
+        yield terms[s0], tbl.slice(s0, e0 - s0)
+
+
+def _write_vocab_sidecar(group: pa.Table, gen_dir: str, part: int) -> None:
+    """One postings partition's vocabulary sidecar: its distinct terms —
+    the wildcard-expansion domain (vocab-sized, never index-sized).  The
+    ONE writer shared by update() and compact() so the sidecar format
+    cannot drift between fresh and merged generations."""
+    _atomic_write_table(
+        pa.table({"term": pc.unique(group.column("term"))}),
+        os.path.join(gen_dir, "vocab", f"v_{part:05d}.parquet"),
+    )
+
+
 def _term_part(term: str, n_parts: int) -> int:
     """Stable term -> partition hash (md5 low bits; Python hash() is salted
     per process and would scatter a term across partitions between runs)."""
@@ -339,13 +367,7 @@ class SearchIndex:
                     out, os.path.join(gd, dir_name, f"{name_prefix}_{p:05d}.parquet")
                 )
                 if vocab:
-                    # vocabulary sidecar: this partition's distinct terms —
-                    # wildcard expansion reads these tiny files instead of
-                    # the postings' term column (vocab-sized, not index-sized)
-                    _atomic_write_table(
-                        pa.table({"term": pc.unique(group.column("term"))}),
-                        os.path.join(gd, "vocab", f"v_{p:05d}.parquet"),
-                    )
+                    _write_vocab_sidecar(group, gd, p)
                 return pa.table({"n": pa.array([group.num_rows], pa.int64())})
 
             return write
@@ -603,10 +625,7 @@ class SearchIndex:
                     os.path.join(gd, dir_name, f"{key_col}_{p:05d}.parquet"),
                 )
                 if dir_name == "postings":  # vocabulary sidecar survives merge
-                    _atomic_write_table(
-                        pa.table({"term": pc.unique(group.column("term"))}),
-                        os.path.join(gd, "vocab", f"v_{p:05d}.parquet"),
-                    )
+                    _write_vocab_sidecar(group, gd, p)
                 return pa.table({"n": pa.array([group.num_rows], pa.int64())})
 
             (
@@ -729,10 +748,11 @@ class SearchIndex:
             for f in src:
                 if not f.endswith(".parquet"):
                     continue
-                t = pq.read_table(f, columns=["term"])
-                cols.append(
-                    np.asarray(t.column("term").to_pylist(), dtype=object)
-                )
+                # unique per file BEFORE collecting: the fallback source is
+                # the postings' term column (index-sized with duplicates);
+                # only its distinct values may reach driver memory
+                t = pc.unique(pq.read_table(f, columns=["term"]).column("term"))
+                cols.append(np.asarray(t.to_pylist(), dtype=object))
         vocab = (
             np.unique(np.concatenate(cols))
             if cols
@@ -1293,31 +1313,17 @@ class SearchIndex:
             if ds is not None
             else []
         )
-        # per-term posting columns (ids, tf, tf_title, dl)
-        acc: dict[str, dict[str, list]] = {}
-        for t in parts:
-            terms_np = t.column("term")
-            for term in all_terms:
-                sub = t.filter(pc.equal(terms_np, term))
-                if not sub.num_rows:
-                    continue
-                e = acc.setdefault(
-                    term, {"ids": [], "tf": [], "tft": [], "dl": []}
-                )
-                for key, col in (
-                    ("ids", "doc_id"),
-                    ("tf", "tf"),
-                    ("tft", "tf_title"),
-                    ("dl", "dl"),
-                ):
-                    e[key].append(sub.column(col).to_numpy(zero_copy_only=False))
+        # per-term posting columns (ids, tf, tf_title, dl): ONE sort of the
+        # (already term-filtered) rows, then run slices — not a full-column
+        # filter pass per term, which goes quadratic when a wildcard
+        # expands to many terms (r5 review)
         cat: dict[str, dict] = {}
-        for term, e in acc.items():
+        for term, sub in _runs_by_term(parts):
             cat[term] = {
-                "ids": np.concatenate(e["ids"]),
-                "tf": np.concatenate(e["tf"]),
-                "tft": np.concatenate(e["tft"]),
-                "dl": np.concatenate(e["dl"]),
+                "ids": sub.column("doc_id").to_numpy(zero_copy_only=False),
+                "tf": sub.column("tf").to_numpy(zero_copy_only=False),
+                "tft": sub.column("tf_title").to_numpy(zero_copy_only=False),
+                "dl": sub.column("dl").to_numpy(zero_copy_only=False),
             }
         # positional read: ONLY the phrase constituents' partitions/rows
         pos_cat: dict[str, dict] = {}
@@ -1334,34 +1340,17 @@ class SearchIndex:
             pds = self._pruned_postings(
                 phrase_terms, require_content_tf=False, with_positions=True
             )
-            pacc: dict[str, dict[str, list]] = {}
-            for t in (
+            pparts = (
                 [x for x in ray.get(pds.to_arrow_refs()) if x.num_rows]
                 if pds is not None
                 else []
-            ):
-                terms_np = t.column("term")
-                for term in phrase_terms:
-                    sub = t.filter(pc.equal(terms_np, term))
-                    if not sub.num_rows:
-                        continue
-                    e = pacc.setdefault(
-                        term, {"ids": [], "dl": [], "pos": [], "post": []}
-                    )
-                    e["ids"].append(
-                        sub.column("doc_id").to_numpy(zero_copy_only=False)
-                    )
-                    e["dl"].append(
-                        sub.column("dl").to_numpy(zero_copy_only=False)
-                    )
-                    e["pos"].append(sub.column("pos").to_pylist())
-                    e["post"].append(sub.column("pos_title").to_pylist())
-            for term, e in pacc.items():
+            )
+            for term, sub in _runs_by_term(pparts):
                 pos_cat[term] = {
-                    "ids": np.concatenate(e["ids"]),
-                    "dl": np.concatenate(e["dl"]),
-                    "pos": [p for part in e["pos"] for p in part],
-                    "post": [p for part in e["post"] for p in part],
+                    "ids": sub.column("doc_id").to_numpy(zero_copy_only=False),
+                    "dl": sub.column("dl").to_numpy(zero_copy_only=False),
+                    "pos": sub.column("pos").to_pylist(),
+                    "post": sub.column("pos_title").to_pylist(),
                 }
 
         _empty3 = (

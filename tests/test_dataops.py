@@ -372,3 +372,16 @@ def test_emb_dedup_clusters_consistent_with_pairs():
     # the Dataset-iterative CC path (forced) produces identical clusters
     forced = emb_dedup_clusters(SF, cc_driver_edge_limit=0)
     check_cluster_labels(pairs, forced, "vec_id")
+
+
+def test_band_subbucket_invariance(monkeypatch):
+    """Forcing band sub-buckets (the whole-corpus-group escape hatch at web
+    scale) must leave LSH candidates and phash pairs byte-identical: the
+    sub key is hash-mod over the bucket key, so buckets never split."""
+    from distributed_web_crawling_system_ray.pipelines import dataops
+
+    base_pairs = dataops.doc_near_dup_pairs(SF)
+    base_phash = dataops.image_phash_near_dup(SF)
+    monkeypatch.setattr(dataops, "BAND_GROUP_TARGET_ROWS", 8)
+    assert dataops.doc_near_dup_pairs(SF).equals(base_pairs)
+    assert dataops.image_phash_near_dup(SF).equals(base_phash)
